@@ -1,0 +1,72 @@
+"""Command-line interface.
+
+Capability parity with the reference CLI (`/root/reference/qbot/cli.py:7-57`,
+``qbot FILE``) plus engine flags for the TPU backend (mesh shape, dtype,
+seed — SURVEY.md §5 config plan).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _file_path(path: str) -> str:
+    if os.path.isabs(path):
+        return path
+    return os.path.join(os.getcwd(), path.lstrip("/"))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from qbot_tpu import __version__
+
+    parser = argparse.ArgumentParser(
+        prog="qbot-tpu",
+        description=(
+            "a TPU-native language runtime for analyzing quantum algorithms "
+            "using the quantum circuit model and probabilistic computing.\n"
+            "paradigms: quantum, probabilistic, imperative, interpreted"
+        ),
+    )
+    parser.add_argument("--version", action="version",
+                        version="%(prog)s " + __version__)
+    parser.add_argument("FILE", type=str,
+                        help="path to the .qb file to execute (relative or absolute)")
+    parser.add_argument("--backend", choices=["numpy", "jax"], default="numpy",
+                        help="numeric engine: numpy oracle (default) or jax/TPU")
+    parser.add_argument("--dtype", choices=["c64", "c128"], default=None,
+                        help="complex precision (default: c128 numpy, c64 jax)")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="PRNG seed for sampling layers (SMC/HMC)")
+    parser.add_argument("--profile", action="store_true",
+                        help="print a per-line wall-time report after execution")
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    path = _file_path(args.FILE)
+    if not os.path.exists(path):
+        print(f"File Not Found at Path: \n{path}")
+        return 1
+
+    from qbot_tpu.errors import QbotScriptError
+    from qbot_tpu.frontend.interpreter import executeFile
+    from qbot_tpu.utils.profiling import line_profile_report, profiling_enabled
+
+    try:
+        with open(path, "r") as f:
+            if args.profile:
+                with profiling_enabled():
+                    executeFile(f)
+                print(line_profile_report(), file=sys.stderr)
+            else:
+                executeFile(f)
+    except QbotScriptError as e:
+        print(str(e))
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
