@@ -50,9 +50,12 @@ def main(argv=None) -> int:
         print(f"File Not Found at Path: \n{path}")
         return 1
 
+    from qbot_tpu.backend import set_backend
     from qbot_tpu.errors import QbotScriptError
     from qbot_tpu.frontend.interpreter import executeFile
     from qbot_tpu.utils.profiling import line_profile_report, profiling_enabled
+
+    set_backend(args.backend)
 
     try:
         with open(path, "r") as f:

@@ -24,6 +24,7 @@ from typing import Optional, Union
 import numpy as np
 
 import qbot_tpu.errors as err
+from qbot_tpu import backend
 from qbot_tpu.basis import Basis
 from qbot_tpu.frontend.evaluation import evaluate_expr
 from qbot_tpu.ops import core, gates
@@ -94,12 +95,12 @@ def _to_density(lines, line_num, val):
             raise err.type_error(lines, line_num,
                                  ["np.ndarray", "ProbVal<np.ndarray>"],
                                  val.type_string()) from None
-    if not isinstance(val, np.ndarray):
+    if not backend.is_array(val):
         raise err.type_error(lines, line_num,
                              ["np.ndarray", "ProbVal<np.ndarray>"],
                              type(val).__name__)
     if val.ndim == 1 and val.size:
-        return core.ket_to_density(val)
+        return core.ket_to_density(val, xp=backend.xp())
     return val
 
 
@@ -186,7 +187,8 @@ def op_qset(ns, lines, line_num, tokens):
     def _replace(tgts):
         _check_targets_in_range(lines, line_num, tgts, n)
         try:
-            return core.replace_qubits(ns["state"], val, list(tgts))
+            return core.replace_qubits(ns["state"], val, list(tgts),
+                                       xp=backend.xp())
         except ValueError as e:
             raise err.python_error(lines, line_num, e) from e
 
@@ -207,7 +209,7 @@ def op_disc(ns, lines, line_num, tokens):
     def _discard(tgts):
         _check_targets_in_range(lines, line_num, tgts, n)
         keep = [q for q in range(n) if q not in set(tgts)]
-        return core.partial_trace_keep(ns["state"], keep)
+        return core.partial_trace_keep(ns["state"], keep, xp=backend.xp())
 
     if isinstance(targets, ProbVal):
         val = lift(_discard, targets)
@@ -253,7 +255,8 @@ def op_gate(ns, lines, line_num, tokens):
                 raise err.index_error(lines, line_num, "control", c, n - 1)
             if first <= c <= last:
                 raise err.control_target_overlap(lines, line_num, c, first, last)
-        return core.apply_controlled(ns["state"], g, targets, ctrls)
+        return core.apply_controlled(ns["state"], g, targets, ctrls,
+                                     xp=backend.xp())
 
     try:
         applied = lift(_apply, gate_val, first_target, controls)
@@ -290,7 +293,8 @@ def op_swap(ns, lines, line_num, tokens):
                 raise err.index_error(lines, line_num, "target", q, n - 1)
         if qa == qb:
             return ns["state"]
-        return core.apply_gate_targets(ns["state"], _SWAP2, [qa, qb])
+        return core.apply_gate_targets(ns["state"], _SWAP2, [qa, qb],
+                                       xp=backend.xp())
 
     try:
         swapped = lift(_swap, a, b)
@@ -316,15 +320,18 @@ def op_meas(ns, lines, line_num, tokens, collapse=True):
 
     try:
         if len(tokens) < 4:
-            result = measure(ns["state"], basis, None, collapse)
+            result = measure(ns["state"], basis, None, collapse,
+                             xp=backend.xp())
         else:
             targets = _ensure_container(
                 lines, line_num, evaluate_expr(lines, line_num, tokens[3], ns))
             if isinstance(targets, ProbVal):
                 result = lift(
-                    lambda t: measure(ns["state"], basis, t, collapse), targets)
+                    lambda t: measure(ns["state"], basis, t, collapse,
+                                      xp=backend.xp()), targets)
             else:
-                result = measure(ns["state"], basis, targets, collapse)
+                result = measure(ns["state"], basis, targets, collapse,
+                                 xp=backend.xp())
     except MeasurementIndexError as e:
         raise err.index_error(lines, line_num, "target", e.args[1], e.args[3]) from e
     except err.QbotScriptError:

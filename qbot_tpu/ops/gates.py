@@ -97,6 +97,29 @@ def rot_z(theta, xp=np):
     return xp.stack([xp.stack([e, zero]), xp.stack([zero, xp.conj(e)])])
 
 
+def rot_planar(axis: str, theta, xp=np):
+    """Planar (stacked real/imag) rotation matrix: shape (2, 2, 2).
+
+    The TPU backend has no complex dtypes, so parameterised gates built
+    inside jit return (re, im) stacked on the leading axis; the complex
+    executors recombine, the planar executors use it directly.
+    """
+    c, s = xp.cos(theta / 2), xp.sin(theta / 2)
+    z = xp.zeros_like(c)
+    if axis == "x":
+        re = xp.stack([xp.stack([c, z]), xp.stack([z, c])])
+        im = xp.stack([xp.stack([z, -s]), xp.stack([-s, z])])
+    elif axis == "y":
+        re = xp.stack([xp.stack([c, -s]), xp.stack([s, c])])
+        im = xp.stack([xp.stack([z, z]), xp.stack([z, z])])
+    elif axis == "z":
+        re = xp.stack([xp.stack([c, z]), xp.stack([z, c])])
+        im = xp.stack([xp.stack([-s, z]), xp.stack([z, s])])
+    else:
+        raise ValueError(f"unknown rotation axis {axis!r}")
+    return xp.stack([re, im])
+
+
 def phase(theta, xp=np):
     one = xp.ones((), dtype=complex)
     zero = xp.zeros((), dtype=complex)

@@ -40,8 +40,8 @@ def values_close(a, b) -> bool:
     """Branch-merging equality: floats within 1e-5, arrays exact, else ==."""
     if isinstance(a, float):
         return abs(a - b) < SMALL_PROB
-    if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
-        return bool((a == b).all())
+    if hasattr(a, "ndim") or hasattr(b, "ndim"):  # numpy or jax arrays
+        return bool(np.asarray(a == b).all())
     return a == b
 
 
@@ -153,7 +153,8 @@ class ProbVal:
 
     def to_density_matrix(self) -> np.ndarray:
         """Fold ProbVal<ndarray> branches into one mixed density matrix."""
-        if not isinstance(self.instance(), np.ndarray):
+        from qbot_tpu.backend import is_array
+        if not is_array(self.instance()):
             raise TypeError("to_density_matrix requires all values to be arrays")
         total = np.zeros(
             self.values[0].shape if self.values[0].ndim == 2
@@ -162,8 +163,8 @@ class ProbVal:
         )
         for p, v in zip(self.probs, self.values):
             if v.ndim == 1:
-                v = np.outer(v, v.conj())
-            total = total + p * v
+                v = np.outer(v, np.conj(v))
+            total = total + p * np.asarray(v)
         return total
 
     toDensityMatrix = to_density_matrix

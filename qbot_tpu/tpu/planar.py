@@ -1,0 +1,260 @@
+"""Planar-complex executors: the real-TPU compute path.
+
+The TPU backend in this environment exposes no complex dtypes, so on-device
+state is stored **planar**: a float32 array of shape ``(2, 2^n)`` holding
+(real, imag) on the leading axis (density: ``(2, 2^n, 2^n)``).  Every
+complex operation decomposes into real arithmetic:
+
+* window matmul: (Wr + iWi)(xr + ixi) → 4 real batched matmuls on the MXU;
+* diagonal step: planar elementwise multiply (one fused VPU pass);
+* probabilities: xr² + xi².
+
+Fully-static window steps are fused to a single complex matrix on the host
+at compile time (no in-trace folding at all); parameterised terms fold
+in-trace with planar products, so HMC gradients flow through float32 only.
+
+Semantically identical to :mod:`qbot_tpu.tpu.simulator` (the complex
+executor used on CPU for conformance); tests cross-check the two.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from qbot_tpu.ops.gates import controlled as controlled_np
+from qbot_tpu.tpu.compiler import (
+    ContractStep,
+    DiagStep,
+    FlipStep,
+    Plan,
+    Term,
+    WindowStep,
+)
+
+__all__ = ["zero_state_planar", "to_planar", "from_planar",
+           "apply_plan_planar", "make_planar_runner",
+           "make_scanned_planar_runner", "planar_probs", "planar_norm"]
+
+REAL_DTYPE = jnp.float32
+
+
+def zero_state_planar(n: int, dtype=REAL_DTYPE) -> jnp.ndarray:
+    psi = jnp.zeros((2, 2**n), dtype=dtype)
+    return psi.at[0, 0].set(1.0)
+
+
+def to_planar(psi_complex: np.ndarray, dtype=np.float32) -> np.ndarray:
+    return np.stack([np.real(psi_complex), np.imag(psi_complex)]).astype(dtype)
+
+
+def from_planar(psi: np.ndarray) -> np.ndarray:
+    psi = np.asarray(psi)
+    return psi[0] + 1j * psi[1]
+
+
+# ---------------------------------------------------------------------------
+# host-side static folding
+# ---------------------------------------------------------------------------
+
+def _static_term_matrix(term: Term) -> np.ndarray:
+    return np.asarray(term.matrix, dtype=np.complex128)
+
+
+def fold_window_static(step: WindowStep) -> Optional[np.ndarray]:
+    """Fuse a window's terms into one complex matrix on the host.
+
+    Returns None if any term is parameterised.
+    """
+    if any(t.matrix is None for t in step.terms):
+        return None
+    w, dim = step.width, 2**step.width
+    W = np.eye(dim, dtype=np.complex128).reshape((2,) * w + (dim,))
+    for term in step.terms:
+        m = _static_term_matrix(term)
+        k = len(term.positions)
+        g = m.reshape((2,) * (2 * k))
+        W = np.tensordot(g, W, axes=(list(range(k, 2 * k)),
+                                     list(term.positions)))
+        W = np.moveaxis(W, list(range(k)), list(term.positions))
+    return W.reshape(dim, dim)
+
+
+def _planar_pair(mat: np.ndarray, dtype=np.float32):
+    return (np.ascontiguousarray(mat.real, dtype=dtype),
+            np.ascontiguousarray(mat.imag, dtype=dtype))
+
+
+# ---------------------------------------------------------------------------
+# in-trace planar algebra (for parameterised terms)
+# ---------------------------------------------------------------------------
+
+def _planar_controlled(mr, mi, num_controls: int):
+    size = mr.shape[0]
+    dim = (2**num_controls) * size
+    outr = jnp.eye(dim, dtype=mr.dtype)
+    outr = outr.at[dim - size:, dim - size:].set(mr)
+    outi = jnp.zeros((dim, dim), dtype=mi.dtype)
+    outi = outi.at[dim - size:, dim - size:].set(mi)
+    return outr, outi
+
+
+def _term_planar(term: Term, params, dtype):
+    if term.matrix is not None:
+        m = np.asarray(term.matrix, dtype=np.complex128)
+        return (jnp.asarray(m.real, dtype=dtype),
+                jnp.asarray(m.imag, dtype=dtype))
+    stacked = term.maker(params[term.param_idx])  # (2, 2^k, 2^k) planar
+    mr, mi = stacked[0].astype(dtype), stacked[1].astype(dtype)
+    if term.num_controls:
+        mr, mi = _planar_controlled(mr, mi, term.num_controls)
+    return mr, mi
+
+
+def _fold_contract(gr, gi, Wr, Wi, positions):
+    """One planar tensor contraction step of the window fold."""
+    k = len(positions)
+    ax = (list(range(k, 2 * k)), list(positions))
+
+    def con(g, W):
+        out = jnp.tensordot(g.reshape((2,) * (2 * k)), W, axes=ax)
+        return jnp.moveaxis(out, list(range(k)), list(positions))
+
+    new_r = con(gr, Wr) - con(gi, Wi)
+    new_i = con(gr, Wi) + con(gi, Wr)
+    return new_r, new_i
+
+
+def fold_window_planar(step: WindowStep, params, dtype=REAL_DTYPE):
+    """(Wr, Wi) for a window with parameterised terms, folded in-trace."""
+    w, dim = step.width, 2**step.width
+    shape = (2,) * w + (dim,)
+    Wr = jnp.eye(dim, dtype=dtype).reshape(shape)
+    Wi = jnp.zeros(shape, dtype=dtype)
+    for term in step.terms:
+        mr, mi = _term_planar(term, params, dtype)
+        k = int(np.log2(mr.shape[0]))
+        Wr, Wi = _fold_contract(mr, mi, Wr, Wi, term.positions)
+    return Wr.reshape(dim, dim), Wi.reshape(dim, dim)
+
+
+# ---------------------------------------------------------------------------
+# step application
+# ---------------------------------------------------------------------------
+
+def _apply_window_planar(psi, n: int, step: WindowStep, params):
+    static = fold_window_static(step)
+    if static is not None:
+        wr, wi = _planar_pair(static)
+        Wr, Wi = jnp.asarray(wr), jnp.asarray(wi)
+    else:
+        Wr, Wi = fold_window_planar(step, params, psi.dtype)
+    dim = 2**step.width
+    a = 2**step.start
+    p3 = psi.reshape(2, a, dim, -1)
+    pr, pi = p3[0], p3[1]
+
+    def mm(W, x):
+        return jnp.einsum("ij,ajb->aib", W, x)
+
+    out_r = mm(Wr, pr) - mm(Wi, pi)
+    out_i = mm(Wr, pi) + mm(Wi, pr)
+    return jnp.stack([out_r, out_i]).reshape(psi.shape)
+
+
+def _apply_diag_planar(psi, n: int, step: DiagStep):
+    k = len(step.targets)
+    d = np.asarray(step.diag, dtype=np.complex128)
+    dr, di = _planar_pair(d)
+    shape = (2,) * k + (1,) * (n - k)
+    move = (list(range(k)), list(step.targets))
+    dr = np.moveaxis(dr.reshape(shape), *move)
+    di = np.moveaxis(di.reshape(shape), *move)
+    t = psi.reshape((2,) + (2,) * n)
+    pr, pi = t[0], t[1]
+    out_r = dr * pr - di * pi
+    out_i = dr * pi + di * pr
+    return jnp.stack([out_r, out_i]).reshape(psi.shape)
+
+
+def _apply_contract_planar(psi, n: int, step: ContractStep, params):
+    if step.matrix is not None:
+        m = np.asarray(step.matrix, dtype=np.complex128)
+        gr, gi = (jnp.asarray(x) for x in _planar_pair(m))
+    else:
+        stacked = step.maker(params[step.param_idx])
+        gr, gi = stacked[0].astype(psi.dtype), stacked[1].astype(psi.dtype)
+        if step.num_controls:
+            gr, gi = _planar_controlled(gr, gi, step.num_controls)
+    k = len(step.targets)
+    ax = (list(range(k, 2 * k)), list(step.targets))
+
+    def con(g, x):
+        out = jnp.tensordot(g.reshape((2,) * (2 * k)), x, axes=ax)
+        return jnp.moveaxis(out, list(range(k)), list(step.targets))
+
+    t = psi.reshape((2,) + (2,) * n)
+    pr, pi = t[0], t[1]
+    out_r = con(gr, pr) - con(gi, pi)
+    out_i = con(gr, pi) + con(gi, pr)
+    return jnp.stack([out_r, out_i]).reshape(psi.shape)
+
+
+def apply_plan_planar(psi: jnp.ndarray, plan: Plan, params=None) -> jnp.ndarray:
+    """Run a compiled plan over a planar (2, 2^n) statevector (traceable)."""
+    n = plan.n
+    for step in plan.steps:
+        if isinstance(step, WindowStep):
+            psi = _apply_window_planar(psi, n, step, params)
+        elif isinstance(step, DiagStep):
+            psi = _apply_diag_planar(psi, n, step)
+        elif isinstance(step, FlipStep):
+            psi = psi.at[:, step.index].multiply(-1)
+        else:
+            psi = _apply_contract_planar(psi, n, step, params)
+    return psi
+
+
+# ---------------------------------------------------------------------------
+# runners and readout
+# ---------------------------------------------------------------------------
+
+def make_planar_runner(plan: Plan):
+    @jax.jit
+    def run(psi, params=None):
+        return apply_plan_planar(psi, plan, params)
+    return run
+
+
+def make_scanned_planar_runner(body_plan: Plan, repeats: int,
+                               init_plan: Optional[Plan] = None):
+    @jax.jit
+    def run(psi, params=None):
+        if init_plan is not None:
+            psi = apply_plan_planar(psi, init_plan, params)
+
+        def step(carry, _):
+            return apply_plan_planar(carry, body_plan, params), None
+
+        psi, _ = jax.lax.scan(step, psi, None, length=repeats)
+        return psi
+    return run
+
+
+def planar_probs(psi: jnp.ndarray, targets=None, n: Optional[int] = None):
+    if n is None:
+        n = int(np.log2(psi.shape[-1]))
+    p = (psi[0] ** 2 + psi[1] ** 2).reshape((2,) * n)
+    if targets is None:
+        return p.reshape(-1)
+    targets = sorted(targets)
+    other = tuple(q for q in range(n) if q not in targets)
+    marg = jnp.sum(p, axis=other) if other else p
+    return marg.reshape(-1)
+
+
+def planar_norm(psi: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(psi[0] ** 2 + psi[1] ** 2)

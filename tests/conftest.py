@@ -1,11 +1,19 @@
 """Test configuration.
 
-Multi-chip sharding tests run on a host-emulated 8-device CPU mesh (the
-standard way to test pjit/shard_map collectives without a pod); the flags
-must be set before jax initialises, hence here.
+Tests always run on CPU-jax with x64 enabled — numeric assertions are
+against complex128 oracles, and sharding tests use a host-emulated 8-device
+CPU mesh (the standard way to exercise pjit/shard_map collectives without a
+pod).  The axon TPU plugin ignores the JAX_PLATFORMS env var, so the config
+must be updated through jax.config before any backend initialises; the
+real-TPU path is exercised by bench.py / __graft_entry__.py in a separate
+process.
 """
 import os
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_ENABLE_X64", "true")
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
