@@ -6,6 +6,7 @@ Public embedding API (parity with the reference package surface,
 program namespace (``state`` = final density matrix, user variables at top
 level).
 """
+from qbot_tpu.frontend.ensemble import executeTxtEnsemble
 from qbot_tpu.frontend.interpreter import executeFile, executeTxt
 
 __version__ = "0.1.0"
@@ -18,4 +19,5 @@ def main():
     sys.exit(_cli_main())
 
 
-__all__ = ["executeFile", "executeTxt", "main", "__version__"]
+__all__ = ["executeFile", "executeTxt", "executeTxtEnsemble", "main",
+           "__version__"]

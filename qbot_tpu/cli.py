@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="PRNG seed for sampling layers (SMC/HMC)")
     parser.add_argument("--profile", action="store_true",
                         help="print a per-line wall-time report after execution")
+    parser.add_argument("--ensemble", action="store_true",
+                        help="enable probabilistic control flow: ProbVal "
+                             "conditions on cjmp/halt/retr fork weighted "
+                             "execution branches")
     return parser
 
 
@@ -59,12 +63,17 @@ def main(argv=None) -> int:
 
     try:
         with open(path, "r") as f:
+            if args.ensemble:
+                from qbot_tpu.frontend.ensemble import executeTxtEnsemble
+                runner = lambda: executeTxtEnsemble(f.read())
+            else:
+                runner = lambda: executeFile(f)
             if args.profile:
                 with profiling_enabled():
-                    executeFile(f)
+                    runner()
                 print(line_profile_report(), file=sys.stderr)
             else:
-                executeFile(f)
+                runner()
     except QbotScriptError as e:
         print(str(e))
         return 1

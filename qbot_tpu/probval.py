@@ -41,6 +41,8 @@ def values_close(a, b) -> bool:
     if isinstance(a, float):
         return abs(a - b) < SMALL_PROB
     if hasattr(a, "ndim") or hasattr(b, "ndim"):  # numpy or jax arrays
+        if getattr(a, "shape", None) != getattr(b, "shape", None):
+            return False
         return bool(np.asarray(a == b).all())
     return a == b
 

@@ -146,23 +146,15 @@ def fold_window_planar(step: WindowStep, params, dtype=REAL_DTYPE):
 # ---------------------------------------------------------------------------
 
 def _apply_window_planar(psi, n: int, step: WindowStep, params):
+    from qbot_tpu.tpu.kernels import planar_window_apply
+
     static = fold_window_static(step)
     if static is not None:
         wr, wi = _planar_pair(static)
         Wr, Wi = jnp.asarray(wr), jnp.asarray(wi)
     else:
         Wr, Wi = fold_window_planar(step, params, psi.dtype)
-    dim = 2**step.width
-    a = 2**step.start
-    p3 = psi.reshape(2, a, dim, -1)
-    pr, pi = p3[0], p3[1]
-
-    def mm(W, x):
-        return jnp.einsum("ij,ajb->aib", W, x)
-
-    out_r = mm(Wr, pr) - mm(Wi, pi)
-    out_i = mm(Wr, pi) + mm(Wi, pr)
-    return jnp.stack([out_r, out_i]).reshape(psi.shape)
+    return planar_window_apply(psi, n, step.start, step.width, Wr, Wi)
 
 
 def _apply_diag_planar(psi, n: int, step: DiagStep):
