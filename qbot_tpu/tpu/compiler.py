@@ -54,6 +54,9 @@ class WindowStep:
     start: int                        # first qubit axis of the window
     width: int                        # window qubit count (dim = 2**width)
     terms: tuple[Term, ...]
+    # basis-state sign flips applied BEFORE this window's unitary, fused
+    # into the window kernel so they cost no extra HBM pass
+    pre_flips: tuple[int, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -101,10 +104,21 @@ def _qubit_log2(size: int) -> int:
 def compile_circuit(circ: Circuit, window: int = 7) -> Plan:
     n = circ.n
     w = min(window, n) if n else 1
-    # fixed contiguous window partition: [0,w), [w,2w), ...
-    group_of = [q // w for q in range(n)]
-    group_start = lambda gi: gi * w
-    group_width = lambda gi: min(w, n - gi * w)
+    # END-ALIGNED contiguous window partition: the remainder group sits at
+    # the FRONT (e.g. n=26, w=7 → widths [5,7,7,7]).  This keeps the
+    # trailing batch dim B = 2^(sum of later widths) at >= 2^w for every
+    # middle group (lane-aligned Pallas left-multiply) and exactly 1 for
+    # the last group (right-multiply) — no group falls into the
+    # small-B geometry that only the slow XLA fallback can handle.
+    rem = n % w
+    bounds = ([(0, rem)] if rem else []) + [
+        (rem + i * w, w) for i in range((n - rem) // w)]
+    group_of = [0] * n
+    for gi, (start, width) in enumerate(bounds):
+        for q in range(start, start + width):
+            group_of[q] = gi
+    group_start = lambda gi: bounds[gi][0]
+    group_width = lambda gi: bounds[gi][1]
 
     plan = Plan(n=n, window=w, num_params=circ.num_params,
                 gate_count=circ.gate_count)
@@ -168,4 +182,30 @@ def compile_circuit(circ: Circuit, window: int = 7) -> Plan:
 
     for gi in sorted(pending):
         flush(gi)
+    plan.steps = _fuse_flips(plan.steps)
     return plan
+
+
+def _fuse_flips(steps: list[Step]) -> list[Step]:
+    """Attach each FlipStep to the next WindowStep as a fused pre-flip.
+
+    A flip does not commute with later steps, so it may only fuse into the
+    *first* subsequent step; flips not followed by a WindowStep stay
+    standalone.
+    """
+    out: list[Step] = []
+    pending: list[int] = []
+    for step in steps:
+        if isinstance(step, FlipStep):
+            pending.append(step.index)
+            continue
+        if pending and isinstance(step, WindowStep):
+            step = WindowStep(step.start, step.width, step.terms,
+                              step.pre_flips + tuple(pending))
+            pending.clear()
+        elif pending:
+            out.extend(FlipStep(i) for i in pending)
+            pending.clear()
+        out.append(step)
+    out.extend(FlipStep(i) for i in pending)
+    return out

@@ -154,7 +154,8 @@ def _apply_window_planar(psi, n: int, step: WindowStep, params):
         Wr, Wi = jnp.asarray(wr), jnp.asarray(wi)
     else:
         Wr, Wi = fold_window_planar(step, params, psi.dtype)
-    return planar_window_apply(psi, n, step.start, step.width, Wr, Wi)
+    return planar_window_apply(psi, n, step.start, step.width, Wr, Wi,
+                               step.pre_flips)
 
 
 def _apply_diag_planar(psi, n: int, step: DiagStep):

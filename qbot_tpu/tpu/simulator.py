@@ -92,6 +92,11 @@ def fold_window(step: WindowStep, params, dtype=DTYPE) -> jnp.ndarray:
 
 
 def _apply_window(psi: jnp.ndarray, n: int, step: WindowStep, params):
+    if step.pre_flips:
+        flat = psi.reshape(-1)
+        for m in step.pre_flips:
+            flat = flat.at[m].multiply(-1)
+        psi = flat.reshape(psi.shape)
     W = fold_window(step, params, psi.dtype)
     dim = 2**step.width
     a = 2**step.start
@@ -153,6 +158,13 @@ def apply_plan_density(rho: jnp.ndarray, plan: Plan, params=None) -> jnp.ndarray
     flat = rho.reshape(-1)          # rank-2n tensor flattened
     for step in plan.steps:
         if isinstance(step, WindowStep):
+            if step.pre_flips:
+                d = 2**n
+                m2 = flat.reshape(d, d)
+                for m in step.pre_flips:
+                    m2 = m2.at[m, :].multiply(-1)
+                    m2 = m2.at[:, m].multiply(-1)
+                flat = m2.reshape(-1)
             W = fold_window(step, params, rho.dtype)
             dim = 2**step.width
             # rows: axes [step.start, ...) of the first n
