@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="PRNG seed for sampling layers (SMC/HMC)")
     parser.add_argument("--profile", action="store_true",
                         help="print a per-line wall-time report after execution")
+    parser.add_argument("--compile", dest="compile_mode", action="store_true",
+                        help="lower the program to the circuit IR and run it "
+                             "on the device engine (unitary fragment only)")
     parser.add_argument("--ensemble", action="store_true",
                         help="enable probabilistic control flow: ProbVal "
                              "conditions on cjmp/halt/retr fork weighted "
@@ -62,6 +65,28 @@ def main(argv=None) -> int:
     set_backend(args.backend)
 
     try:
+        if args.compile_mode:
+            from qbot_tpu.frontend.lowering import lower_program, run_lowered
+            with open(path, "r") as f:
+                lp = lower_program(f.read())
+            from qbot_tpu.tpu.compiler import compile_circuit
+            plan = compile_circuit(lp.circuit)
+            print(f"lowered: {lp.n} qubits, {lp.circuit.gate_count} gates, "
+                  f"{plan.num_passes} device passes", file=sys.stderr)
+            probs, _ = run_lowered(lp)
+            if probs is not None:
+                basis = lp.measure_basis
+                m = len(lp.measure_targets) // basis.numQubits
+                for i, p in enumerate(probs):
+                    syms = ""
+                    rem, digs = i, []
+                    for _ in range(m):
+                        digs.append(rem % len(basis)); rem //= len(basis)
+                    for d in reversed(digs):
+                        syms += basis.ketSymbols[d]
+                    print(f"{syms}- {round(float(p), 15)} "
+                          f"({round(float(p) * 100, 13)}%)")
+            return 0
         with open(path, "r") as f:
             if args.ensemble:
                 from qbot_tpu.frontend.ensemble import executeTxtEnsemble

@@ -104,15 +104,23 @@ def _qubit_log2(size: int) -> int:
 def compile_circuit(circ: Circuit, window: int = 7) -> Plan:
     n = circ.n
     w = min(window, n) if n else 1
-    # END-ALIGNED contiguous window partition: the remainder group sits at
-    # the FRONT (e.g. n=26, w=7 → widths [5,7,7,7]).  This keeps the
-    # trailing batch dim B = 2^(sum of later widths) at >= 2^w for every
-    # middle group (lane-aligned Pallas left-multiply) and exactly 1 for
-    # the last group (right-multiply) — no group falls into the
-    # small-B geometry that only the slow XLA fallback can handle.
-    rem = n % w
+    # Hybrid contiguous window partition, chosen for the Pallas kernel
+    # geometries: the LAST group always has width min(n, LANE_WIDTH_LOG2)
+    # so the right-multiply kernel gets full 128 lanes, and the remaining
+    # front qubits split END-ALIGNED into groups of width ``w`` (remainder
+    # group first).  Every middle group then keeps its trailing batch dim
+    # B = 2^(sum of later widths) >= 2^7 — lane-aligned for the
+    # left-multiply kernel; no geometry falls into the slow XLA fallback.
+    # ``w`` < 7 trades more HBM passes for fewer MXU FLOPs (fused window
+    # matrices are 2^w square), which wins when layers are gate-sparse.
+    LANE_LOG2 = 7
+    last_w = min(n, LANE_LOG2)
+    front = n - last_w
+    rem = front % w
     bounds = ([(0, rem)] if rem else []) + [
-        (rem + i * w, w) for i in range((n - rem) // w)]
+        (rem + i * w, w) for i in range(front // w)]
+    if last_w:
+        bounds.append((front, last_w))
     group_of = [0] * n
     for gi, (start, width) in enumerate(bounds):
         for q in range(start, start + width):

@@ -1,0 +1,113 @@
+"""DSL → circuit IR lowering tests: lowered execution matches the dense
+interpreter on the unitary program fragment."""
+import numpy as np
+import pytest
+
+from qbot_tpu import executeTxt
+from qbot_tpu.frontend.lowering import (
+    LoweringError,
+    lower_program,
+    run_lowered,
+)
+
+
+def lowered_probs(src, **kw):
+    lp = lower_program(src)
+    probs, _ = run_lowered(lp, **kw)
+    return lp, probs
+
+
+class TestLowering:
+    def test_bell_measurement_matches_interpreter(self):
+        src = ("qset tensorProd(comp[0], comp[0])\n"
+               "gate hadamardGate ; 0\n"
+               "gate pauliXGate ; 1 ; 0\n"
+               "meas out ; comp")
+        lp, probs = lowered_probs(src)
+        want = executeTxt(src)["out"].probs
+        np.testing.assert_allclose(probs, want, atol=1e-6)
+
+    def test_loop_unrolls(self):
+        src = ("qset tensorProd(comp[0], comp[0], comp[0])\n"
+               "cdef i ; 0\n"
+               "mark l\n"
+               "gate pauliXGate ; i\n"
+               "cdef i ; i + 1\n"
+               "cjmp l ; i < 3\n"
+               "meas out ; comp")
+        lp, probs = lowered_probs(src)
+        assert lp.circuit.gate_count == 3
+        want = [0.0] * 8
+        want[0b111] = 1.0
+        np.testing.assert_allclose(probs, want, atol=1e-6)
+
+    def test_bell_basis_measurement(self):
+        src = ("qset tensorProd(comp[0], comp[0])\n"
+               "gate hadamardGate ; 0\n"
+               "gate pauliXGate ; 1 ; 0\n"
+               "meas out ; bell")
+        lp, probs = lowered_probs(src)
+        want = executeTxt(src)["out"].probs
+        np.testing.assert_allclose(probs, want, atol=1e-6)
+
+    def test_subset_measurement(self):
+        src = ("qset tensorProd(comp[1], hada[0], comp[0])\n"
+               "meas out ; comp ; [0, 2]")
+        lp, probs = lowered_probs(src)
+        want = executeTxt(src)["out"].probs
+        np.testing.assert_allclose(probs, want, atol=1e-6)
+
+    def test_conditional_gate_and_swap(self):
+        src = ("cdef fire ; True\n"
+               "qset tensorProd(comp[1], comp[0])\n"
+               "gate pauliXGate ; 1 ; [] ; fire\n"
+               "gate pauliXGate ; 0 ; [] ; not fire\n"
+               "swap 0 ; 1\n"
+               "meas out ; comp")
+        lp, probs = lowered_probs(src)
+        want = executeTxt(src)["out"].probs
+        np.testing.assert_allclose(probs, want, atol=1e-6)
+
+    def test_complex_executor_path(self):
+        src = "qset comp[0]\ngate hadamardGate\nmeas out ; comp"
+        _, probs = lowered_probs(src, use_planar=False)
+        np.testing.assert_allclose(probs, [0.5, 0.5], atol=1e-6)
+
+    def test_namespace_carried(self):
+        lp = lower_program("cdef x ; 41\nqset comp[0]\ncdef x ; x + 1")
+        assert lp.namespace["x"] == 42
+
+    def test_disc_rejected(self):
+        with pytest.raises(LoweringError):
+            lower_program("qset tensorProd(comp[0], comp[0])\ndisc 0")
+
+    def test_probval_gate_rejected(self):
+        with pytest.raises(LoweringError):
+            lower_program(
+                "qset comp[0]\n"
+                "gate ProbVal([0.5, 0.5], [pauliXGate, identityGate])")
+
+    def test_mid_circuit_qset_rejected(self):
+        with pytest.raises(LoweringError):
+            lower_program("qset comp[0]\ngate pauliXGate\nqset comp[1]")
+
+    def test_ops_after_measurement_rejected(self):
+        with pytest.raises(LoweringError):
+            lower_program(
+                "qset comp[0]\nmeas x ; comp\ngate pauliXGate")
+
+    def test_large_register_lowering(self):
+        """A register far beyond the dense interpreter's comfort zone."""
+        n = 18
+        # state prep via a ket (comp[0] is a projector: its tensorExp would
+        # materialise a 2^n x 2^n density matrix on the host)
+        src = (f"qset tensorExp(comp.kets[0], {n})\n"
+               "cdef i ; 0\n"
+               "mark l\n"
+               "gate hadamardGate ; i\n"
+               "cdef i ; i + 1\n"
+               f"cjmp l ; i < {n}\n"
+               "meas out ; comp ; 0")
+        lp, probs = lowered_probs(src)
+        assert lp.n == n
+        np.testing.assert_allclose(probs, [0.5, 0.5], atol=1e-5)
