@@ -36,7 +36,7 @@ from qbot_tpu.ops.gates import controlled
 from qbot_tpu.tpu.circuit import Circuit, CircuitOp
 
 __all__ = ["Term", "WindowStep", "DiagStep", "FlipStep", "ContractStep",
-           "Plan", "compile_circuit"]
+           "PairStep", "Plan", "compile_circuit", "expand_pairs"]
 
 
 @dataclass(frozen=True)
@@ -72,6 +72,20 @@ class FlipStep:
 
 
 @dataclass(frozen=True)
+class PairStep:
+    """Two disjoint, qubit-contiguous windows applied in ONE HBM pass.
+
+    The planar executor lowers this to a single Pallas kernel that
+    left-multiplies ``first``'s unitary and contracts ``second``'s on the
+    other axis of the same VMEM tile — halving state traffic versus two
+    window passes.  Disjoint supports commute, so semantics equal applying
+    ``first`` then ``second``.
+    """
+    first: WindowStep
+    second: WindowStep
+
+
+@dataclass(frozen=True)
 class ContractStep:
     targets: tuple[int, ...]          # includes controls (leading)
     matrix: Optional[np.ndarray]
@@ -80,7 +94,7 @@ class ContractStep:
     num_controls: int = 0
 
 
-Step = Union[WindowStep, DiagStep, FlipStep, ContractStep]
+Step = Union[WindowStep, DiagStep, FlipStep, ContractStep, PairStep]
 
 
 @dataclass
@@ -101,7 +115,8 @@ def _qubit_log2(size: int) -> int:
     return int(size).bit_length() - 1
 
 
-def compile_circuit(circ: Circuit, window: int = 7) -> Plan:
+def compile_circuit(circ: Circuit, window: int = 7,
+                    pair: bool = True) -> Plan:
     n = circ.n
     w = min(window, n) if n else 1
     # Hybrid contiguous window partition, chosen for the Pallas kernel
@@ -191,7 +206,57 @@ def compile_circuit(circ: Circuit, window: int = 7) -> Plan:
     for gi in sorted(pending):
         flush(gi)
     plan.steps = _fuse_flips(plan.steps)
+    if pair:
+        plan.steps = _pair_windows(plan.steps, n)
     return plan
+
+
+def _pairable(a: Step, b: Step, n: int) -> bool:
+    """True when adjacent steps fuse into one Pallas pair-kernel pass.
+
+    Requirements: both are windows, qubit-contiguous (``a`` immediately
+    before ``b``, so the state views as (A, D1, D2, B) with no middle
+    axis), ``b`` carries no pre-flips (a basis-state flip between the two
+    unitaries would not commute with ``a``), and the geometry matches one
+    of the two kernels: trailing pair (B == 1, any D1/D2 up to 128×128) or
+    middle pair (B >= 128 with D1 <= 32 so the in-kernel row loop stays
+    short).
+    """
+    if not (isinstance(a, WindowStep) and isinstance(b, WindowStep)):
+        return False
+    if a.start + a.width != b.start or b.pre_flips:
+        return False
+    if a.width + b.width > 14:          # fused tile beyond 128×128
+        return False
+    B = 2 ** (n - b.start - b.width)
+    if B == 1:
+        return True
+    return B >= 128 and a.width <= 5
+
+
+def _pair_windows(steps: list[Step], n: int) -> list[Step]:
+    """Greedy left-to-right fusion of adjacent window steps into PairSteps."""
+    out: list[Step] = []
+    i = 0
+    while i < len(steps):
+        if i + 1 < len(steps) and _pairable(steps[i], steps[i + 1], n):
+            out.append(PairStep(steps[i], steps[i + 1]))
+            i += 2
+        else:
+            out.append(steps[i])
+            i += 1
+    return out
+
+
+def expand_pairs(steps):
+    """Iterate steps with PairSteps expanded to their two windows (for
+    executors that gain nothing from pair fusion: complex/density/XLA)."""
+    for step in steps:
+        if isinstance(step, PairStep):
+            yield step.first
+            yield step.second
+        else:
+            yield step
 
 
 def _fuse_flips(steps: list[Step]) -> list[Step]:

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["planar_window_apply", "set_kernel_mode", "kernel_mode"]
+__all__ = ["planar_window_apply", "planar_pair_window_apply",
+           "set_kernel_mode", "kernel_mode"]
 
 _MODE = "auto"          # "auto" | "on" | "off" | "interpret"
 
@@ -161,6 +162,170 @@ def _right_multiply(w, p, block_a: int, flips=()):
         out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
         interpret=_interpret(),
     )(w, p)
+
+
+# ---------------------------------------------------------------------------
+# pair kernels: TWO disjoint contiguous windows in ONE HBM pass.
+# State viewed as (2, A, D1, D2, B); W1 left-multiplies the D1 axis and W2
+# contracts the D2 axis of the same VMEM tile — one read + one write of the
+# state applies both unitaries (two passes' worth of gates at half the
+# traffic of separate window steps).
+# ---------------------------------------------------------------------------
+
+def _pair_b1_body(w1_ref, w2_ref, p_ref, o_ref, *, flips, D1, D2):
+    """Trailing pair (B == 1): tile is the (D1, D2) matrix at grid index a;
+    out = W1 · X · W2ᵀ in planar-complex arithmetic (8 MXU matmuls)."""
+    w1r, w1i = w1_ref[0], w1_ref[1]
+    w2rt, w2it = w2_ref[0].T, w2_ref[1].T
+    xr = p_ref[0, 0]
+    xi = p_ref[1, 0]
+    if flips:
+        row = jax.lax.broadcasted_iota(jnp.int32, (D1, D2), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (D1, D2), 1)
+        sign = jnp.ones((D1, D2), dtype=xr.dtype)
+        for a_star, d1_star, d2_star in flips:
+            here = (pl.program_id(0) == a_star).astype(xr.dtype)
+            hit = ((row == d1_star) & (col == d2_star)).astype(xr.dtype)
+            sign = sign * (1.0 - 2.0 * here * hit)
+        xr = xr * sign
+        xi = xi * sign
+    yr = (jnp.dot(w1r, xr, preferred_element_type=jnp.float32)
+          - jnp.dot(w1i, xi, preferred_element_type=jnp.float32))
+    yi = (jnp.dot(w1r, xi, preferred_element_type=jnp.float32)
+          + jnp.dot(w1i, xr, preferred_element_type=jnp.float32))
+    o_ref[0, 0] = (jnp.dot(yr, w2rt, preferred_element_type=jnp.float32)
+                   - jnp.dot(yi, w2it, preferred_element_type=jnp.float32))
+    o_ref[1, 0] = (jnp.dot(yr, w2it, preferred_element_type=jnp.float32)
+                   + jnp.dot(yi, w2rt, preferred_element_type=jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("flips",))
+def _pair_b1(w1, w2, p, flips=()):
+    """w1: (2, D1, D1); w2: (2, D2, D2); p: (2, A, D1, D2)."""
+    _, A, D1, D2 = p.shape
+    kernel = functools.partial(_pair_b1_body, flips=flips, D1=D1, D2=D2)
+    return pl.pallas_call(
+        kernel,
+        grid=(A,),
+        in_specs=[
+            pl.BlockSpec((2, D1, D1), lambda a: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, D2, D2), lambda a: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, D1, D2), lambda a: (0, a, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, 1, D1, D2), lambda a: (0, a, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
+        interpret=_interpret(),
+    )(w1, w2, p)
+
+
+def _pair_bt_body(w1_ref, w2_ref, p_ref, o_ref, *, flips, D1, D2, block_b):
+    """Middle pair (B >= 128): tile (D1, D2, Bt); W1 contracts the leading
+    axis as one wide matmul, W2 the middle axis via a short D1-row loop."""
+    w1r, w1i = w1_ref[0], w1_ref[1]
+    w2r, w2i = w2_ref[0], w2_ref[1]
+    xr = p_ref[0, 0]
+    xi = p_ref[1, 0]
+    if flips:
+        d1c = jax.lax.broadcasted_iota(jnp.int32, (D1, D2, block_b), 0)
+        d2c = jax.lax.broadcasted_iota(jnp.int32, (D1, D2, block_b), 1)
+        bc = jax.lax.broadcasted_iota(jnp.int32, (D1, D2, block_b), 2)
+        sign = jnp.ones((D1, D2, block_b), dtype=xr.dtype)
+        for a_star, bt_star, d1_star, d2_star, off_star in flips:
+            here = ((pl.program_id(0) == a_star)
+                    & (pl.program_id(1) == bt_star)).astype(xr.dtype)
+            hit = ((d1c == d1_star) & (d2c == d2_star)
+                   & (bc == off_star)).astype(xr.dtype)
+            sign = sign * (1.0 - 2.0 * here * hit)
+        xr = xr * sign
+        xi = xi * sign
+    xr2 = xr.reshape(D1, D2 * block_b)
+    xi2 = xi.reshape(D1, D2 * block_b)
+    yr = (jnp.dot(w1r, xr2, preferred_element_type=jnp.float32)
+          - jnp.dot(w1i, xi2, preferred_element_type=jnp.float32)
+          ).reshape(D1, D2, block_b)
+    yi = (jnp.dot(w1r, xi2, preferred_element_type=jnp.float32)
+          + jnp.dot(w1i, xr2, preferred_element_type=jnp.float32)
+          ).reshape(D1, D2, block_b)
+    for j in range(D1):                 # D1 <= 32 by compile-time pairing
+        ar, ai = yr[j], yi[j]           # (D2, Bt)
+        o_ref[0, 0, j] = (jnp.dot(w2r, ar, preferred_element_type=jnp.float32)
+                          - jnp.dot(w2i, ai,
+                                    preferred_element_type=jnp.float32))
+        o_ref[1, 0, j] = (jnp.dot(w2r, ai, preferred_element_type=jnp.float32)
+                          + jnp.dot(w2i, ar,
+                                    preferred_element_type=jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "flips"))
+def _pair_bt(w1, w2, p, block_b: int, flips=()):
+    """w1: (2, D1, D1); w2: (2, D2, D2); p: (2, A, D1, D2, B)."""
+    _, A, D1, D2, B = p.shape
+    grid = (A, pl.cdiv(B, block_b))
+    kernel = functools.partial(_pair_bt_body, flips=flips, D1=D1, D2=D2,
+                               block_b=block_b)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2, D1, D1), lambda a, b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, D2, D2), lambda a, b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, D1, D2, block_b),
+                         lambda a, b: (0, a, 0, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, 1, D1, D2, block_b),
+                               lambda a, b: (0, a, 0, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
+        # double-buffered (D1, D2, Bt) in+out tiles exceed the 16 MB default
+        # scoped-vmem budget; the chip has 128 MB — raise the ceiling
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(w1, w2, p)
+
+
+def planar_pair_window_apply(psi, n: int, s1: int, w1: int, s2: int, w2: int,
+                             W1r, W1i, W2r, W2i, pre_flips=()):
+    """Apply two contiguous disjoint window unitaries in one HBM pass.
+
+    ``pre_flips`` are basis-state sign flips applied before BOTH unitaries
+    (they were fused onto the first window).  Falls back to two sequential
+    window applications when Pallas is off or the geometry is unsupported.
+    """
+    if s1 + w1 != s2:
+        raise ValueError("pair windows must be qubit-contiguous")
+    D1, D2 = 2**w1, 2**w2
+    A = 2**s1
+    B = (2**n) // (A * D1 * D2)
+
+    if _use_pallas():
+        w1s = jnp.stack([W1r, W1i])
+        w2s = jnp.stack([W2r, W2i])
+        if B == 1:
+            p = psi.reshape(2, A, D1, D2)
+            flips = tuple((m >> (w1 + w2), (m >> w2) & (D1 - 1), m & (D2 - 1))
+                          for m in pre_flips)
+            return _pair_b1(w1s, w2s, p, flips).reshape(psi.shape)
+        if B >= 128 and D1 <= 32:
+            block_b = min(B, 256)
+            lb = B.bit_length() - 1
+            p = psi.reshape(2, A, D1, D2, B)
+            flips = tuple(
+                (m >> (w1 + w2 + lb), (m & (B - 1)) // block_b,
+                 (m >> (w2 + lb)) & (D1 - 1), (m >> lb) & (D2 - 1),
+                 (m & (B - 1)) % block_b)
+                for m in pre_flips)
+            return _pair_bt(w1s, w2s, p, block_b, flips).reshape(psi.shape)
+
+    psi = planar_window_apply(psi, n, s1, w1, W1r, W1i, pre_flips)
+    return planar_window_apply(psi, n, s2, w2, W2r, W2i)
 
 
 def planar_window_apply(psi, n: int, start: int, width: int, Wr, Wi,

@@ -30,6 +30,7 @@ from qbot_tpu.tpu.compiler import (
     ContractStep,
     DiagStep,
     FlipStep,
+    PairStep,
     Plan,
     Term,
     WindowStep,
@@ -37,7 +38,9 @@ from qbot_tpu.tpu.compiler import (
 
 __all__ = ["zero_state_planar", "to_planar", "from_planar",
            "apply_plan_planar", "make_planar_runner",
-           "make_scanned_planar_runner", "planar_probs", "planar_norm"]
+           "make_scanned_planar_runner", "planar_probs", "planar_norm",
+           "zero_density_planar", "apply_plan_density_planar",
+           "make_planar_density_runner", "planar_density_probs"]
 
 REAL_DTYPE = jnp.float32
 
@@ -158,6 +161,25 @@ def _apply_window_planar(psi, n: int, step: WindowStep, params):
                                step.pre_flips)
 
 
+def _fold_planar_pair(step: WindowStep, params, dtype):
+    static = fold_window_static(step)
+    if static is not None:
+        wr, wi = _planar_pair(static)
+        return jnp.asarray(wr), jnp.asarray(wi)
+    return fold_window_planar(step, params, dtype)
+
+
+def _apply_pair_planar(psi, n: int, step: PairStep, params):
+    from qbot_tpu.tpu.kernels import planar_pair_window_apply
+
+    W1r, W1i = _fold_planar_pair(step.first, params, psi.dtype)
+    W2r, W2i = _fold_planar_pair(step.second, params, psi.dtype)
+    return planar_pair_window_apply(
+        psi, n, step.first.start, step.first.width,
+        step.second.start, step.second.width,
+        W1r, W1i, W2r, W2i, step.first.pre_flips)
+
+
 def _apply_diag_planar(psi, n: int, step: DiagStep):
     k = len(step.targets)
     d = np.asarray(step.diag, dtype=np.complex128)
@@ -202,6 +224,8 @@ def apply_plan_planar(psi: jnp.ndarray, plan: Plan, params=None) -> jnp.ndarray:
     for step in plan.steps:
         if isinstance(step, WindowStep):
             psi = _apply_window_planar(psi, n, step, params)
+        elif isinstance(step, PairStep):
+            psi = _apply_pair_planar(psi, n, step, params)
         elif isinstance(step, DiagStep):
             psi = _apply_diag_planar(psi, n, step)
         elif isinstance(step, FlipStep):
@@ -209,6 +233,125 @@ def apply_plan_planar(psi: jnp.ndarray, plan: Plan, params=None) -> jnp.ndarray:
         else:
             psi = _apply_contract_planar(psi, n, step, params)
     return psi
+
+
+# ---------------------------------------------------------------------------
+# planar density-matrix executor
+#
+# The TPU backend has no complex dtypes, so this is the only way mixed
+# states run on real chips: ρ is a planar (2, 2^n, 2^n) float32 stack, and
+# every plan step applies to the ROW qubit axes then (conjugated) to the
+# COLUMN axes.  Viewing ρ flat as a planar (2, 4^n) "state", a window on
+# rows is a window at position s of a 2n-qubit register and a window on
+# columns one at position n+s — the SAME Pallas window/pair kernels serve
+# both sides, so density mode costs exactly 2× the statevector passes.
+# ---------------------------------------------------------------------------
+
+def zero_density_planar(n: int, dtype=REAL_DTYPE) -> jnp.ndarray:
+    rho = jnp.zeros((2, 2**n, 2**n), dtype=dtype)
+    return rho.at[0, 0, 0].set(1.0)
+
+
+def _density_flips(rho, flips):
+    """Sign-flip rows and columns of basis states (ρ → F ρ F with F=diag±1)."""
+    for m in flips:
+        rho = rho.at[:, m, :].multiply(-1)
+        rho = rho.at[:, :, m].multiply(-1)
+    return rho
+
+
+def _window_both_sides(flat, n, start, width, Wr, Wi):
+    from qbot_tpu.tpu.kernels import planar_window_apply
+
+    flat = planar_window_apply(flat, 2 * n, start, width, Wr, Wi)
+    return planar_window_apply(flat, 2 * n, n + start, width, Wr, -Wi)
+
+
+def _pair_both_sides(flat, n, step: PairStep, W1r, W1i, W2r, W2i):
+    from qbot_tpu.tpu.kernels import planar_pair_window_apply
+
+    s1, w1 = step.first.start, step.first.width
+    s2, w2 = step.second.start, step.second.width
+    flat = planar_pair_window_apply(flat, 2 * n, s1, w1, s2, w2,
+                                    W1r, W1i, W2r, W2i)
+    return planar_pair_window_apply(flat, 2 * n, n + s1, w1, n + s2, w2,
+                                    W1r, -W1i, W2r, -W2i)
+
+
+def apply_plan_density_planar(rho: jnp.ndarray, plan: Plan,
+                              params=None) -> jnp.ndarray:
+    """Run a compiled plan over a planar (2, 2^n, 2^n) density matrix."""
+    n = plan.n
+    d = 2**n
+    shape = rho.shape
+    flat = rho.reshape(2, -1)
+    for step in plan.steps:
+        if isinstance(step, WindowStep):
+            if step.pre_flips:
+                flat = _density_flips(flat.reshape(2, d, d),
+                                      step.pre_flips).reshape(2, -1)
+            static = fold_window_static(step)
+            if static is not None:
+                wr, wi = _planar_pair(static)
+                Wr, Wi = jnp.asarray(wr), jnp.asarray(wi)
+            else:
+                Wr, Wi = fold_window_planar(step, params, flat.dtype)
+            flat = _window_both_sides(flat, n, step.start, step.width, Wr, Wi)
+        elif isinstance(step, PairStep):
+            if step.first.pre_flips:
+                flat = _density_flips(flat.reshape(2, d, d),
+                                      step.first.pre_flips).reshape(2, -1)
+            W1r, W1i = _fold_planar_pair(step.first, params, flat.dtype)
+            W2r, W2i = _fold_planar_pair(step.second, params, flat.dtype)
+            flat = _pair_both_sides(flat, n, step, W1r, W1i, W2r, W2i)
+        elif isinstance(step, DiagStep):
+            flat = _apply_diag_planar(flat, 2 * n, step)
+            col = DiagStep(tuple(n + q for q in step.targets),
+                           np.conj(np.asarray(step.diag)))
+            flat = _apply_diag_planar(flat, 2 * n, col)
+        elif isinstance(step, FlipStep):
+            flat = _density_flips(flat.reshape(2, d, d),
+                                  (step.index,)).reshape(2, -1)
+        else:
+            flat = _apply_contract_planar(flat, 2 * n, step, params)
+            col = ContractStep(tuple(n + q for q in step.targets),
+                               None if step.matrix is None
+                               else np.conj(np.asarray(step.matrix)),
+                               step.param_idx,
+                               (None if step.maker is None else
+                                _conj_maker(step.maker)),
+                               step.num_controls)
+            flat = _apply_contract_planar(flat, 2 * n, col, params)
+    return flat.reshape(shape)
+
+
+def _conj_maker(maker):
+    """Wrap a planar (2, d, d) gate maker to produce the conjugate gate."""
+    def conj(theta):
+        stacked = maker(theta)
+        return jnp.stack([stacked[0], -stacked[1]])
+    return conj
+
+
+def make_planar_density_runner(plan: Plan):
+    @jax.jit
+    def run(rho, params=None):
+        return apply_plan_density_planar(rho, plan, params)
+    return run
+
+
+def planar_density_probs(rho: jnp.ndarray, targets=None,
+                         n: Optional[int] = None):
+    """Computation-basis outcome probabilities: the diagonal of ρ."""
+    if n is None:
+        n = int(np.log2(rho.shape[-1]))
+    diag = jnp.diagonal(rho[0], axis1=-2, axis2=-1).reshape((2,) * n)
+    if targets is None:
+        return diag.reshape(-1)
+    targets = sorted(targets)
+    other = tuple(q for q in range(n) if q not in targets)
+    marg = jnp.sum(diag, axis=other) if other else diag
+    return marg.reshape(-1)
 
 
 # ---------------------------------------------------------------------------

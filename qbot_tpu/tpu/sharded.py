@@ -1,0 +1,332 @@
+"""Sharded planar executor: statevectors bigger than one chip's HBM.
+
+The reference is hard-walled at whatever dense matrix fits in one host's RAM
+(SURVEY.md §5 "long-context" slot); this module is the TPU-native scaling
+answer for *pure* states: the ``(2, 2^n)`` planar amplitude tensor is
+sharded over the leading ``k = log2(K)`` qubit axes of a K-device mesh axis,
+and the program runs under ``shard_map`` with explicit collectives:
+
+* window/pair steps on **local** qubit axes run the normal Pallas kernels
+  per shard — embarrassingly parallel, zero communication;
+* steps touching **sharded** qubit axes are preceded by a *qubit reshard*:
+  one ``lax.all_to_all`` that exchanges the k device-axis bits with a
+  contiguous block of k local qubit axes (the Ulysses-style axis exchange
+  of SURVEY.md §2.4) — the compiler tracks the resulting logical→physical
+  permutation so later steps target the right axes;
+* basis-state flips touch one amplitude on one shard: a masked
+  single-element update, no communication;
+* readout marginals are per-shard partial sums + ``psum``.
+
+Unlike :func:`qbot_tpu.tpu.sharding.make_sharded_runner` (GSPMD over the
+complex executor — fine on CPU meshes), this path uses only planar float32
+and explicit collectives, so it runs on real TPU chips, which expose no
+complex dtypes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from qbot_tpu.tpu.circuit import Circuit, CircuitOp
+from qbot_tpu.tpu.compiler import Plan, compile_circuit
+
+try:                                     # jax >= 0.8 public API
+    from jax import shard_map as _shard_map
+except ImportError:                      # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+__all__ = ["ShardedPlan", "compile_sharded", "make_sharded_planar_runner",
+           "sharded_zero_state", "sharded_probs_fn", "unpermute_planar"]
+
+
+@dataclass(frozen=True)
+class LocalSegment:
+    """A run of ops acting only on local (unsharded) qubit axes, compiled
+    to a normal window-fused plan over the n−k local axes."""
+    plan: Plan
+
+
+@dataclass(frozen=True)
+class Reshard:
+    """Exchange the k sharded axes (physical [0,k)) with local physical
+    axes [m, m+k): one all_to_all on the mesh axis."""
+    m: int
+
+
+@dataclass(frozen=True)
+class ShardedFlip:
+    """Sign-flip of one global basis state: owner shard + local index."""
+    owner: int
+    local_index: int
+
+
+Item = Union[LocalSegment, Reshard, ShardedFlip]
+
+
+@dataclass
+class ShardedPlan:
+    n: int
+    k: int                               # log2(number of shards)
+    items: list[Item] = field(default_factory=list)
+    # perm[physical_position] = logical qubit, at plan END (for readout)
+    final_perm: list[int] = field(default_factory=list)
+    num_params: int = 0
+    gate_count: int = 0
+
+    @property
+    def num_reshards(self) -> int:
+        return sum(isinstance(i, Reshard) for i in self.items)
+
+
+def _support(op: CircuitOp) -> tuple[int, ...]:
+    return tuple(op.controls) + tuple(op.targets)
+
+
+def compile_sharded(circ: Circuit, k: int, window: int = 7) -> ShardedPlan:
+    """Compile a circuit for a 2^k-way sharded register.
+
+    Tracks the logical→physical qubit permutation across reshards.  Ops on
+    disjoint qubit sets commute, so when an op touches a sharded axis the
+    scheduler first pulls forward every later op that is already local and
+    commutes past the blocked ones — a full layer over all n qubits then
+    costs exactly ONE all_to_all, not one per blocked op.  The exchange
+    block is chosen to evict qubits that no blocked op needs (Belady-style:
+    minimise overlap with the pending-front support).
+    """
+    n = circ.n
+    if k < 0 or (k and n - k < k):
+        raise ValueError(f"cannot shard {n} qubits {2**k} ways")
+    pos = list(range(n))                 # pos[logical] = physical
+    perm = list(range(n))                # perm[physical] = logical
+    splan = ShardedPlan(n=n, k=k, num_params=circ.num_params,
+                        gate_count=circ.gate_count)
+    pending = Circuit(n - k)
+    pending.num_params = circ.num_params
+
+    def flush():
+        nonlocal pending
+        if pending.ops:
+            splan.items.append(LocalSegment(compile_circuit(pending, window)))
+            pending = Circuit(n - k)
+            pending.num_params = circ.num_params
+
+    def is_local(op: CircuitOp) -> bool:
+        return all(pos[q] >= k for q in _support(op))
+
+    def emit(op: CircuitOp) -> None:
+        qubits = _support(op)
+        local = [pos[q] - k for q in qubits]
+        nc = len(op.controls)
+        pending.ops.append(CircuitOp(op.kind, tuple(local[nc:]),
+                                     tuple(local[:nc]), op.matrix,
+                                     op.param_idx, op.maker, op.index))
+
+    def reshard_for(must_avoid: set[int], prefer_avoid: set[int]) -> None:
+        """Exchange sharded axes with a local block disjoint from
+        ``must_avoid`` physical positions, minimising ``prefer_avoid``
+        overlap (evict qubits the pending front does not need)."""
+        best, best_cost = None, None
+        for m in range(n - k, k - 1, -1):
+            block = set(range(m, m + k))
+            if block & must_avoid:
+                continue
+            cost = len(block & prefer_avoid)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = m, cost
+                if cost == 0:
+                    break
+        if best is None:
+            raise ValueError(
+                f"support {sorted(must_avoid)} leaves no free local block "
+                f"for resharding ({n} qubits, k={k})")
+        flush()
+        splan.items.append(Reshard(best))
+        for i in range(k):
+            a, b = perm[i], perm[best + i]
+            perm[i], perm[best + i] = b, a
+            pos[a], pos[b] = best + i, i
+
+    def physical_index(logical_index: int) -> int:
+        out = 0
+        for p in range(n):
+            bit = (logical_index >> (n - 1 - perm[p])) & 1
+            out |= bit << (n - 1 - p)
+        return out
+
+    ops = list(circ.ops)
+    emitted = [False] * len(ops)
+    for i, op in enumerate(ops):
+        if emitted[i]:
+            continue
+        if op.kind == "flip":
+            flush()
+            mp = physical_index(op.index)
+            splan.items.append(ShardedFlip(mp >> (n - k),
+                                           mp & ((1 << (n - k)) - 1)))
+            emitted[i] = True
+            continue
+        if not is_local(op):
+            # pull forward commuting local ops, gathering the blocked front
+            barrier = set(_support(op))
+            blocked = set(_support(op))
+            for j in range(i + 1, len(ops)):
+                if emitted[j]:
+                    continue
+                oj = ops[j]
+                if oj.kind == "flip":    # diagonal on ALL qubits: hard wall
+                    break
+                sj = set(_support(oj))
+                if sj & barrier:
+                    barrier |= sj
+                    blocked |= sj
+                    continue
+                if is_local(oj):
+                    emit(oj)
+                    emitted[j] = True
+                else:
+                    barrier |= sj
+                    blocked |= sj
+            must = {pos[q] for q in _support(op)}
+            prefer = {pos[q] for q in blocked}
+            reshard_for(must, prefer)
+            if not is_local(op):         # pragma: no cover - guarded above
+                raise AssertionError("reshard failed to localise op")
+        emit(op)
+        emitted[i] = True
+    flush()
+    splan.final_perm = list(perm)
+    return splan
+
+
+def unpermute_planar(psi, perm) -> jnp.ndarray:
+    """Restore logical qubit order of a (2, 2^n) planar state whose axis p
+    holds logical qubit ``perm[p]`` (the runner's output layout,
+    ``splan.final_perm``).
+
+    This is a full-state transpose — use it for host-side inspection and
+    conformance checks; production readout should go through
+    :func:`sharded_probs_fn`, which handles the permutation shard-locally.
+    """
+    n = len(perm)
+    pos = [0] * n
+    for p, q in enumerate(perm):
+        pos[q] = p
+    t = jnp.asarray(psi).reshape((2,) + (2,) * n)
+    t = jnp.transpose(t, (0,) + tuple(1 + pos[q] for q in range(n)))
+    return t.reshape(2, -1)
+
+
+def sharded_zero_state(n: int, mesh: Mesh, axis_name: str = "qubits",
+                       dtype=jnp.float32) -> jax.Array:
+    """|0…0⟩ as a planar (2, 2^n) array sharded over ``axis_name``."""
+    psi = jnp.zeros((2, 2**n), dtype=dtype).at[0, 0].set(1.0)
+    return jax.device_put(psi, NamedSharding(mesh, P(None, axis_name)))
+
+
+def make_sharded_planar_runner(splan: ShardedPlan, mesh: Mesh,
+                               axis_name: str = "qubits"):
+    """jit a shard_map executor for a ShardedPlan.
+
+    Returns ``run(psi_sharded, params=None) -> psi_sharded``.
+    """
+    from qbot_tpu.tpu.planar import apply_plan_planar
+
+    n, k = splan.n, splan.k
+    K = 2**k
+    if np.prod([mesh.shape[a] for a in (axis_name,)]) != K:
+        raise ValueError(f"mesh axis {axis_name!r} size != {K}")
+    n_local = n - k
+
+    def body(psi, params):
+        # psi: local planar (2, 2^(n-k))
+        for item in splan.items:
+            if isinstance(item, LocalSegment):
+                psi = apply_plan_planar(psi, item.plan, params)
+            elif isinstance(item, ShardedFlip):
+                here = jax.lax.axis_index(axis_name) == item.owner
+                sign = jnp.where(here, -1.0, 1.0).astype(psi.dtype)
+                psi = psi.at[:, item.local_index].multiply(sign)
+            else:                        # Reshard
+                pre = 2 ** (item.m - k)
+                post = 2 ** (n - item.m - k)
+                t = psi.reshape(2, pre, K, post)
+                t = jax.lax.all_to_all(t, axis_name, split_axis=2,
+                                       concat_axis=2, tiled=True)
+                psi = t.reshape(2, 2**n_local)
+        return psi
+
+    mapped = _shard_map(body, mesh=mesh,
+                        in_specs=(P(None, axis_name), P()),
+                        out_specs=P(None, axis_name))
+
+    @jax.jit
+    def run(psi, params=None):
+        if params is None:
+            params = jnp.zeros((max(splan.num_params, 1),), psi.dtype)
+        return mapped(psi, params)
+
+    return run
+
+
+def sharded_probs_fn(splan: ShardedPlan, mesh: Mesh,
+                     targets=None, axis_name: str = "qubits"):
+    """jit a readout: marginal computation-basis probabilities of logical
+    ``targets`` (all qubits if None), replicated on every device.
+
+    Handles targets living on sharded axes: each shard scatters its partial
+    marginal at the offset encoded by its device-id bits, then a psum
+    assembles the full distribution.
+    """
+    n, k = splan.n, splan.k
+    perm = splan.final_perm
+    pos = [0] * n
+    for p, q in enumerate(perm):
+        pos[q] = p
+    targets = list(range(n)) if targets is None else sorted(targets)
+    phys = [pos[q] for q in targets]     # physical axis per logical target
+
+    def body(psi):
+        p2 = (psi[0] ** 2 + psi[1] ** 2).reshape((2,) * (n - k))
+        local_axes = [p - k for p in phys if p >= k]
+        keep = sorted(local_axes)
+        drop = tuple(a for a in range(n - k) if a not in keep)
+        marg = jnp.sum(p2, axis=drop) if drop else p2
+        # marg axes are the kept local axes in physical order; reorder to
+        # follow the logical target order, sharded target bits first-class
+        dev = jax.lax.axis_index(axis_name)
+        out_bits = len(targets)
+        # position of each target's bit in the output index (MSB first)
+        local_rank = {a: i for i, a in enumerate(keep)}
+        # build the replicated output by scattering this shard's block
+        offset = jnp.zeros((), jnp.int32)
+        stride = []
+        for bit_i, (q, p) in enumerate(zip(targets, phys)):
+            weight = 1 << (out_bits - 1 - bit_i)
+            if p < k:                    # sharded: bit comes from device id
+                bit = (dev >> (k - 1 - p)) & 1
+                offset = offset + bit.astype(jnp.int32) * weight
+            else:
+                stride.append((local_rank[p - k], weight))
+        # flatten marg with arbitrary per-axis weights via index arithmetic
+        flat = marg.reshape(-1)
+        m_axes = len(keep)
+        idx = jnp.zeros(flat.shape, jnp.int32)
+        if m_axes:
+            coords = jnp.unravel_index(jnp.arange(flat.shape[0]),
+                                       marg.shape)
+            for rank, weight in stride:
+                idx = idx + coords[rank].astype(jnp.int32) * weight
+        out = jnp.zeros((2**out_bits,), flat.dtype)
+        out = out.at[offset + idx].add(flat)
+        return jax.lax.psum(out, axis_name)
+
+    mapped = _shard_map(body, mesh=mesh,
+                        in_specs=(P(None, axis_name),),
+                        out_specs=P())
+    return jax.jit(mapped)

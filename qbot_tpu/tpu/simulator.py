@@ -34,6 +34,7 @@ from qbot_tpu.tpu.compiler import (
     Term,
     WindowStep,
     compile_circuit,
+    expand_pairs,
 )
 
 __all__ = ["zero_state", "fold_window", "apply_plan", "apply_plan_density",
@@ -139,7 +140,7 @@ def _apply_contract(psi: jnp.ndarray, n: int, step: ContractStep, params):
 def apply_plan(psi: jnp.ndarray, plan: Plan, params=None) -> jnp.ndarray:
     """Run a compiled plan over a statevector (traceable)."""
     n = plan.n
-    for step in plan.steps:
+    for step in expand_pairs(plan.steps):
         if isinstance(step, WindowStep):
             psi = _apply_window(psi, n, step, params)
         elif isinstance(step, DiagStep):
@@ -156,7 +157,7 @@ def apply_plan_density(rho: jnp.ndarray, plan: Plan, params=None) -> jnp.ndarray
     """Run a compiled plan over a density matrix: ρ → U ρ U† step by step."""
     n = plan.n
     flat = rho.reshape(-1)          # rank-2n tensor flattened
-    for step in plan.steps:
+    for step in expand_pairs(plan.steps):
         if isinstance(step, WindowStep):
             if step.pre_flips:
                 d = 2**n

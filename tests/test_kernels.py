@@ -76,3 +76,78 @@ class TestPlanarWindowApply:
         with pytest.raises(ValueError):
             kernels.set_kernel_mode("bogus")
         assert kernels.kernel_mode() == "auto"
+
+
+class TestPairKernels:
+    def _run_pair(self, n, s1, w1, s2, w2, seed, flips=()):
+        from qbot_tpu.tpu.kernels import planar_pair_window_apply
+
+        rng = np.random.default_rng(seed)
+        psi = _rand_planar(n, seed)
+        D1, D2 = 2**w1, 2**w2
+        W1 = np.linalg.qr(rng.normal(size=(D1, D1))
+                          + 1j * rng.normal(size=(D1, D1)))[0]
+        W2 = np.linalg.qr(rng.normal(size=(D2, D2))
+                          + 1j * rng.normal(size=(D2, D2)))[0]
+        planar = jnp.asarray(np.stack([psi.real, psi.imag]),
+                             dtype=jnp.float32)
+        got = planar_pair_window_apply(
+            planar, n, s1, w1, s2, w2,
+            jnp.asarray(W1.real, jnp.float32), jnp.asarray(W1.imag, jnp.float32),
+            jnp.asarray(W2.real, jnp.float32), jnp.asarray(W2.imag, jnp.float32),
+            pre_flips=flips)
+        # oracle: flips, then window 1, then window 2, dense einsum
+        want = psi.copy()
+        for m in flips:
+            want[m] = -want[m]
+        A, B = 2**s1, 2**n // (2**(s1 + w1 + w2))
+        t = want.reshape(A, D1, D2 * B)
+        t = np.einsum("ij,ajb->aib", W1, t)
+        t = t.reshape(A * D1, D2, B)
+        t = np.einsum("ij,ajb->aib", W2, t)
+        return np.asarray(got), t.reshape(-1)
+
+    def test_trailing_pair_b1(self, interpret_kernels):
+        """(12,7)+(19,7)-style pair: B == 1 kernel (scaled down)."""
+        got, want = self._run_pair(n=10, s1=2, w1=4, s2=6, w2=4, seed=7)
+        np.testing.assert_allclose(from_planar(got), want, atol=1e-4)
+
+    def test_trailing_pair_b1_with_flips(self, interpret_kernels):
+        got, want = self._run_pair(n=10, s1=2, w1=4, s2=6, w2=4, seed=8,
+                                   flips=(0, 513, 1023))
+        np.testing.assert_allclose(from_planar(got), want, atol=1e-4)
+
+    def test_middle_pair_bt(self, interpret_kernels):
+        """(0,5)+(5,7)-style pair: B >= 128 kernel (scaled down)."""
+        got, want = self._run_pair(n=12, s1=0, w1=2, s2=2, w2=3, seed=9)
+        np.testing.assert_allclose(from_planar(got), want, atol=1e-4)
+
+    def test_middle_pair_bt_with_flips(self, interpret_kernels):
+        got, want = self._run_pair(n=12, s1=0, w1=2, s2=2, w2=3, seed=10,
+                                   flips=(5, 700, 4095))
+        np.testing.assert_allclose(from_planar(got), want, atol=1e-4)
+
+    def test_paired_plan_matches_unpaired(self, interpret_kernels):
+        """End-to-end: compile with and without pairing, same state."""
+        from qbot_tpu.tpu.compiler import PairStep
+
+        n = 10
+        c = Circuit(n)
+        c.phase_flip(123)
+        for q in range(n):
+            c.h(q)
+        c.phase_flip(0)
+        for q in range(n):
+            c.h(q)
+        paired = compile_circuit(c, window=4, pair=True)
+        unpaired = compile_circuit(c, window=4, pair=False)
+        assert any(isinstance(s, PairStep) for s in paired.steps)
+        assert paired.num_passes < unpaired.num_passes
+        got = apply_plan_planar(zero_state_planar(n), paired)
+        want = apply_plan_planar(zero_state_planar(n), unpaired)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
+        # complex executor sees expanded pairs and must agree too
+        ref = np.asarray(apply_plan(zero_state(n, jnp.complex128), paired))
+        np.testing.assert_allclose(from_planar(np.asarray(got)), ref,
+                                   atol=1e-4)

@@ -71,3 +71,90 @@ def test_to_from_planar_roundtrip():
     rng = np.random.default_rng(0)
     psi = rng.normal(size=8) + 1j * rng.normal(size=8)
     np.testing.assert_allclose(from_planar(to_planar(psi, np.float64)), psi)
+
+
+class TestPlanarDensity:
+    """Planar density executor (the real-TPU mixed-state path) vs the
+    complex-dtype density executor."""
+
+    def _check(self, circ, atol=1e-4, params=None, window=7):
+        import jax.numpy as jnp
+
+        from qbot_tpu.tpu.compiler import compile_circuit
+        from qbot_tpu.tpu.planar import (
+            apply_plan_density_planar,
+            zero_density_planar,
+        )
+        from qbot_tpu.tpu.simulator import apply_plan_density
+
+        plan = compile_circuit(circ, window=window)
+        n = circ.n
+        rho0 = np.zeros((2**n, 2**n), dtype=np.complex128)
+        rho0[0, 0] = 1.0
+        want = np.asarray(apply_plan_density(
+            jnp.asarray(rho0), plan,
+            None if params is None else jnp.asarray(params)))
+        got = np.asarray(apply_plan_density_planar(
+            zero_density_planar(n), plan,
+            None if params is None else jnp.asarray(params, jnp.float32)))
+        np.testing.assert_allclose(got[0] + 1j * got[1], want, atol=atol)
+        return got
+
+    def test_bell_density(self):
+        from qbot_tpu.tpu.circuit import Circuit
+
+        c = Circuit(2)
+        c.h(0)
+        c.cx(0, 1)
+        got = self._check(c)
+        # diag of bell state: [0.5, 0, 0, 0.5]
+        np.testing.assert_allclose(np.diag(got[0]), [0.5, 0, 0, 0.5],
+                                   atol=1e-6)
+
+    def test_random_circuit_density(self):
+        from qbot_tpu.tpu.circuit import random_circuit
+
+        self._check(random_circuit(5, 3, seed=11), window=3)
+
+    def test_flips_and_diag_density(self):
+        from qbot_tpu.tpu.circuit import Circuit
+
+        c = Circuit(4)
+        for q in range(4):
+            c.h(q)
+        c.phase_flip(9)
+        for q in range(4):
+            c.h(q)
+        c.diagonal(np.exp(1j * np.linspace(0, 1, 4)), [1, 3])
+        self._check(c, window=2)
+
+    def test_param_circuit_density(self):
+        from qbot_tpu.tpu.circuit import Circuit
+
+        c = Circuit(3)
+        c.pry(0)
+        c.prx(1)
+        c.cx(0, 2)
+        c.prz(2)
+        self._check(c, params=[0.3, 1.1, -0.7])
+
+    def test_density_probs(self):
+        import jax.numpy as jnp
+
+        from qbot_tpu.tpu.circuit import Circuit
+        from qbot_tpu.tpu.compiler import compile_circuit
+        from qbot_tpu.tpu.planar import (
+            apply_plan_density_planar,
+            planar_density_probs,
+            zero_density_planar,
+        )
+
+        c = Circuit(3)
+        c.h(0)
+        c.cx(0, 1)
+        rho = apply_plan_density_planar(zero_density_planar(3),
+                                        compile_circuit(c))
+        p = np.asarray(planar_density_probs(rho, targets=[0, 1]))
+        np.testing.assert_allclose(p, [0.5, 0, 0, 0.5], atol=1e-6)
+        p0 = np.asarray(planar_density_probs(rho, targets=[2]))
+        np.testing.assert_allclose(p0, [1.0, 0.0], atol=1e-6)

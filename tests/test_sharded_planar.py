@@ -1,0 +1,151 @@
+"""Sharded planar executor (shard_map + all_to_all qubit resharding) vs the
+unsharded planar path, on the host-emulated 8-device CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qbot_tpu.tpu.circuit import Circuit, grover_circuit, random_circuit
+from qbot_tpu.tpu.compiler import compile_circuit
+from qbot_tpu.tpu.planar import (
+    apply_plan_planar,
+    from_planar,
+    planar_probs,
+    zero_state_planar,
+)
+from qbot_tpu.tpu.sharded import (
+    LocalSegment,
+    Reshard,
+    compile_sharded,
+    make_sharded_planar_runner,
+    sharded_probs_fn,
+    sharded_zero_state,
+    unpermute_planar,
+)
+from qbot_tpu.tpu.sharding import make_mesh
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 emulated devices")
+
+
+def _mesh(K):
+    return make_mesh((1, K), devices=jax.devices()[:K])
+
+
+def _unsharded(circ, n):
+    plan = compile_circuit(circ)
+    return np.asarray(apply_plan_planar(zero_state_planar(n), plan))
+
+
+def _sharded(circ, n, k, params=None):
+    """Run sharded and restore logical qubit order for comparison."""
+    mesh = _mesh(2**k)
+    splan = compile_sharded(circ, k)
+    run = make_sharded_planar_runner(splan, mesh)
+    psi = run(sharded_zero_state(n, mesh), params)
+    psi = unpermute_planar(np.asarray(psi), splan.final_perm)
+    return np.asarray(psi), splan, mesh
+
+
+class TestCompileSharded:
+    def test_local_only_circuit_no_reshard(self):
+        c = Circuit(8)
+        for q in range(3, 8):
+            c.h(q)
+        splan = compile_sharded(c, k=3)
+        assert splan.num_reshards == 0
+
+    def test_gate_on_sharded_qubit_inserts_reshard(self):
+        c = Circuit(8).h(0)
+        splan = compile_sharded(c, k=3)
+        assert splan.num_reshards == 1
+
+    def test_reshard_count_batches_ops(self):
+        # an H-layer over all qubits needs exactly one reshard
+        c = Circuit(8)
+        for q in range(8):
+            c.h(q)
+        splan = compile_sharded(c, k=3)
+        assert splan.num_reshards == 1
+
+
+class TestShardedExecution:
+    def test_h_layer_matches_unsharded(self):
+        n, k = 8, 3
+        c = Circuit(n)
+        for q in range(n):
+            c.h(q)
+        want = _unsharded(c, n)
+        got, _, _ = _sharded(c, n, k)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_random_circuit_matches(self):
+        n, k = 9, 3
+        c = random_circuit(n, 3, seed=12)
+        want = _unsharded(c, n)
+        got, splan, _ = _sharded(c, n, k)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+        assert splan.num_reshards >= 1
+
+    def test_grover_with_flips_matches(self):
+        n, k = 8, 2
+        c = grover_circuit(n, marked=37, iterations=12)
+        want = _unsharded(c, n)
+        got, _, _ = _sharded(c, n, k)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+        # and the marked state is amplified
+        p = got[0] ** 2 + got[1] ** 2
+        assert p[37] > 0.5
+
+    def test_param_circuit_matches(self):
+        n, k = 8, 2
+        c = Circuit(n)
+        for q in range(n):
+            c.pry(q, q)
+        c.cx(0, 7)
+        theta = np.linspace(0.1, 1.5, n).astype(np.float32)
+        plan = compile_circuit(c)
+        want = np.asarray(apply_plan_planar(zero_state_planar(n), plan,
+                                            jnp.asarray(theta)))
+        got, _, _ = _sharded(c, n, k, params=jnp.asarray(theta))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_qubit_identity_preserved_after_reshards(self):
+        # X on one sharded qubit and one local qubit: exact basis state
+        n, k = 8, 3
+        c = Circuit(n).x(0).x(6)
+        got, _, _ = _sharded(c, n, k)
+        psi = from_planar(got)
+        expect_index = (1 << (n - 1)) | (1 << (n - 1 - 6))
+        assert np.argmax(np.abs(psi)) == expect_index
+
+
+class TestShardedProbs:
+    def test_full_distribution(self):
+        n, k = 8, 3
+        c = grover_circuit(n, marked=11, iterations=3)
+        mesh = _mesh(2**k)
+        splan = compile_sharded(c, k)
+        run = make_sharded_planar_runner(splan, mesh)
+        psi = run(sharded_zero_state(n, mesh))
+        probs = np.asarray(sharded_probs_fn(splan, mesh)(psi))
+        want = np.asarray(planar_probs(
+            jnp.asarray(_unsharded(c, n)), n=n))
+        np.testing.assert_allclose(probs, want, atol=1e-5)
+
+    def test_marginal_mixing_sharded_and_local_targets(self):
+        n, k = 8, 3
+        c = Circuit(n)
+        for q in range(n):
+            c.h(q)
+        c.cx(0, 7)
+        mesh = _mesh(2**k)
+        splan = compile_sharded(c, k)
+        run = make_sharded_planar_runner(splan, mesh)
+        psi = run(sharded_zero_state(n, mesh))
+        # targets straddle the shard boundary (logical 0 is sharded at start)
+        probs = np.asarray(sharded_probs_fn(splan, mesh, targets=[0, 7])(psi))
+        want = np.asarray(planar_probs(jnp.asarray(_unsharded(c, n)),
+                                       targets=[0, 7], n=n))
+        np.testing.assert_allclose(probs, want, atol=1e-5)

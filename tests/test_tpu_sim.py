@@ -65,12 +65,17 @@ class TestCompiler:
         assert plan.num_passes == 1
         assert isinstance(plan.steps[0], WindowStep)
 
-    def test_two_windows(self):
+    def test_two_windows_pair_fused(self):
         c = Circuit(10)
         for q in range(10):
             c.h(q)
+        # the two windows of the H-layer fuse into one PairStep pass
         plan = compile_circuit(c, window=7)
-        assert plan.num_passes == 2
+        assert plan.num_passes == 1
+        from qbot_tpu.tpu.compiler import PairStep
+        assert isinstance(plan.steps[0], PairStep)
+        plan_unpaired = compile_circuit(c, window=7, pair=False)
+        assert plan_unpaired.num_passes == 2
 
     def test_cross_window_gate_falls_back(self):
         c = Circuit(10).h(0).cx(0, 9)
