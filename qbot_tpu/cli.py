@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--compile", dest="compile_mode", action="store_true",
                         help="lower the program to the circuit IR and run it "
                              "on the device engine (unitary fragment only)")
+    parser.add_argument("--shard", type=int, default=0, metavar="K",
+                        help="with --compile: shard the register over 2^K "
+                             "devices (shard_map + all_to_all qubit "
+                             "reshards); 0 = single device")
     parser.add_argument("--ensemble", action="store_true",
                         help="enable probabilistic control flow: ProbVal "
                              "conditions on cjmp/halt/retr fork weighted "
@@ -64,6 +68,17 @@ def main(argv=None) -> int:
 
     set_backend(args.backend)
 
+    # some TPU plugins ignore the JAX_PLATFORMS env var; honour it through
+    # jax.config before the backend initialises (relevant for --shard runs
+    # on emulated CPU meshes)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat and (args.shard or args.compile_mode):
+        try:
+            import jax
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
     try:
         if args.compile_mode:
             from qbot_tpu.frontend.lowering import lower_program, run_lowered
@@ -73,8 +88,21 @@ def main(argv=None) -> int:
             plan = compile_circuit(lp.circuit)
             print(f"lowered: {lp.n} qubits, {lp.circuit.gate_count} gates, "
                   f"{plan.num_passes} device passes", file=sys.stderr)
-            probs, _ = run_lowered(lp)
-            if probs is not None:
+            if args.shard:
+                from qbot_tpu.frontend.lowering import run_lowered_sharded
+                try:
+                    probs, _, splan = run_lowered_sharded(lp, k=args.shard)
+                except ValueError as e:
+                    print(f"sharding error: {e}", file=sys.stderr)
+                    return 1
+                print(f"sharded: 2^{args.shard} devices, "
+                      f"{splan.num_reshards} reshards", file=sys.stderr)
+            else:
+                probs, _ = run_lowered(lp)
+            # programs with a classical epilogue print their own output
+            # (the epilogue ran inside run_lowered with the result bound);
+            # otherwise print the outcome table directly
+            if probs is not None and not lp.has_epilogue:
                 basis = lp.measure_basis
                 m = len(lp.measure_targets) // basis.numQubits
                 for i, p in enumerate(probs):

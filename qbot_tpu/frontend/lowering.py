@@ -31,7 +31,8 @@ from qbot_tpu.helpers import int_log2
 from qbot_tpu.probval import ProbVal
 from qbot_tpu.tpu.circuit import Circuit
 
-__all__ = ["LoweredProgram", "lower_program", "run_lowered"]
+__all__ = ["LoweredProgram", "lower_program", "run_lowered",
+           "run_lowered_sharded", "finish_lowered"]
 
 
 class LoweringError(err.QbotScriptError):
@@ -44,11 +45,23 @@ class LoweredProgram:
     initial_kets: list[np.ndarray]          # tensor factors of |ψ₀⟩
     measure_basis: Optional[Basis] = None
     measure_targets: Optional[list[int]] = None
+    measure_name: Optional[str] = None
     namespace: dict = field(default_factory=dict)
+    lines: list[str] = field(default_factory=list)
+    resume_line: int = -1                   # first line after the final meas
 
     @property
     def n(self) -> int:
         return self.circuit.n
+
+    @property
+    def has_epilogue(self) -> bool:
+        """True when classical ops follow the final measurement."""
+        from qbot_tpu.frontend.interpreter import peek_opcode
+        if self.resume_line < 0:
+            return False
+        return any(peek_opcode(l) not in ("", "note", "mark")
+                   for l in self.lines[self.resume_line:])
 
 
 def _unsupported(lines, line_num, what):
@@ -81,6 +94,7 @@ def lower_program(text: str) -> LoweredProgram:
     circuit: Optional[Circuit] = None
     initial_kets: list[np.ndarray] = []
     measured: Optional[tuple] = None
+    resume_line = -1
     n = 0
 
     line_num = -1
@@ -99,10 +113,6 @@ def lower_program(text: str) -> LoweredProgram:
         if n_args < lo or n_args > hi:
             raise err.num_arguments_error(lines, line_num, op_name, n_args,
                                           lo, hi)
-        if measured is not None and op_name in ("qset", "gate", "swap",
-                                                "meas", "peek", "disc"):
-            raise _unsupported(lines, line_num,
-                               "operations after the final measurement")
 
         if op_name == "qset":
             if circuit is not None:
@@ -175,7 +185,10 @@ def lower_program(text: str) -> LoweredProgram:
                     raise _unsupported(lines, line_num, "ProbVal targets")
                 targets = sorted(set(targets))
             measured = (basis, targets, tokens[1])
-            continue
+            # lowering stops here: the classical epilogue runs AFTER device
+            # execution, with the measurement result bound (finish_lowered)
+            resume_line = line_num + 1
+            break
 
         if op_name == "disc":
             raise _unsupported(lines, line_num, "disc (non-unitary)")
@@ -192,10 +205,164 @@ def lower_program(text: str) -> LoweredProgram:
 
     if circuit is None:
         circuit = Circuit(0)
-    lp = LoweredProgram(circuit, initial_kets, namespace=ns)
+    lp = LoweredProgram(circuit, initial_kets, namespace=ns, lines=lines,
+                        resume_line=resume_line)
     if measured is not None:
         lp.measure_basis, lp.measure_targets = measured[0], measured[1]
+        lp.measure_name = measured[2]
     return lp
+
+
+_EPILOGUE_FORBIDDEN = ("qset", "gate", "swap", "meas", "peek", "disc")
+
+
+def finish_lowered(lp: LoweredProgram, probs) -> Optional[object]:
+    """Bind the measurement result and run the classical epilogue.
+
+    Called by the run_lowered* executors after device execution: builds a
+    :class:`MeasurementResult` from the outcome distribution (same readout
+    format as the dense interpreter), binds it under the measured name, and
+    drives the interpreter over the lines after the measurement (``cout``,
+    ``pydo``, classical control flow).  Quantum ops there — or jumps back
+    into the circuit region — are outside the unitary fragment and raise.
+    """
+    if lp.measure_basis is None or probs is None:
+        return None
+    from qbot_tpu.frontend.interpreter import peek_opcode, run_lines
+    from qbot_tpu.ops.measurement import MeasurementResult, _digits_big_endian
+
+    basis = lp.measure_basis
+    m = len(lp.measure_targets) // basis.numQubits
+    symbols = ["".join(basis.ketSymbols[d]
+                       for d in _digits_big_endian(i, len(basis), m))
+               for i in range(len(probs))]
+    result = MeasurementResult(None, [float(p) for p in probs], None, symbols)
+    lp.namespace[lp.measure_name] = result
+
+    if lp.has_epilogue:
+        for ln in range(lp.resume_line, len(lp.lines)):
+            if peek_opcode(lp.lines[ln]) in _EPILOGUE_FORBIDDEN:
+                raise _unsupported(lp.lines, ln,
+                                   "quantum operations after the final "
+                                   "measurement")
+        run_lines(lp.namespace, lp.lines, start_line=lp.resume_line)
+    return result
+
+
+def _ket_to_unitary(ket: np.ndarray) -> np.ndarray:
+    """Complete a unit ket to a unitary whose first column is exactly it."""
+    d = ket.shape[0]
+    ket = ket / np.linalg.norm(ket)
+    A = np.eye(d, dtype=complex)
+    A[:, 0] = ket
+    # move the most-aligned basis column out of the way to keep A full rank
+    pivot = int(np.argmax(np.abs(ket)))
+    if pivot != 0:
+        A[:, pivot] = np.eye(d)[:, 0]
+    Q, R = np.linalg.qr(A)
+    return Q * (R[0, 0] / abs(R[0, 0]))   # fix the first-column phase
+
+
+def _factorize_ket(ket: np.ndarray, tol: float = 1e-9) -> list[np.ndarray]:
+    """Greedy Schmidt factorization of a pure ket into tensor factors.
+
+    Peels the smallest separable leading block repeatedly, so a product
+    state that arrived as one merged 2^n ket (e.g. via ``tensorProd`` of
+    densities) becomes a list of small kets — each preparable by a small
+    local unitary instead of one n-qubit gate (which could never be
+    localised on a sharded register).  Entangled blocks stay whole.
+    """
+    factors: list[np.ndarray] = []
+    rest = np.asarray(ket, complex)
+    n = int_log2(rest.shape[0])
+    while n > 1:
+        for a in range(1, n):
+            M = rest.reshape(2**a, 2 ** (n - a))
+            u, s, vh = np.linalg.svd(M, full_matrices=False)
+            if s[1:].max(initial=0.0) < tol:       # rank-1: separable here
+                factors.append(u[:, 0] * s[0])
+                rest = vh[0]
+                n -= a
+                break
+        else:
+            break
+    factors.append(rest)
+    return factors
+
+
+def _full_circuit(lp: LoweredProgram, window: int) -> "Circuit":
+    """Prepend product-state prep and append basis rotation to the circuit.
+
+    State prep: each tensor factor |ψᵢ⟩ becomes one unitary U with
+    U|0…0⟩ = |ψᵢ⟩ on its qubit block.  Basis rotation: B† per target block
+    so computation-basis probabilities read out the requested basis.
+    """
+    circ = Circuit(lp.n)
+    q = 0
+    for big in lp.initial_kets:
+        for ket in _factorize_ket(big):
+            k = int_log2(ket.shape[0])
+            if not np.allclose(ket, np.eye(ket.shape[0])[:, 0]):
+                circ.gate(_ket_to_unitary(np.asarray(ket, complex)),
+                          list(range(q, q + k)))
+            q += k
+    circ.ops.extend(lp.circuit.ops)
+    circ.num_params = lp.circuit.num_params
+    if lp.measure_basis is not None:
+        basis, targets = lp.measure_basis, lp.measure_targets
+        is_comp = basis.numQubits == 1 and all(
+            np.allclose(kt, e) for kt, e in zip(
+                basis.kets, np.eye(2, dtype=complex)))
+        if not is_comp:
+            rot = np.stack(basis.kets).conj()
+            bq = basis.numQubits
+            for i in range(0, len(targets), bq):
+                block = targets[i:i + bq]
+                if list(block) != list(range(block[0], block[0] + bq)):
+                    raise ValueError(
+                        "multi-qubit basis measurement requires contiguous "
+                        "target blocks in the lowered path")
+                circ.gate(rot, block)
+    return circ
+
+
+def run_lowered_sharded(lp: LoweredProgram, k: Optional[int] = None,
+                        mesh=None, window: int = 7):
+    """Execute a lowered program on a qubit-sharded device mesh.
+
+    The full program (state prep + gates + basis rotation) compiles through
+    :func:`qbot_tpu.tpu.sharded.compile_sharded` and runs under shard_map
+    with all_to_all qubit reshards; outcome probabilities assemble via
+    psum.  Returns (outcome_probs or None, sharded_state, sharded_plan).
+    """
+    import jax
+
+    from qbot_tpu.tpu.sharded import (
+        compile_sharded,
+        make_sharded_planar_runner,
+        sharded_probs_fn,
+        sharded_zero_state,
+    )
+    from qbot_tpu.tpu.sharding import make_mesh
+
+    if mesh is None:
+        ndev = len(jax.devices())
+        if k is None:
+            k = max(ndev.bit_length() - 1, 0)
+        mesh = make_mesh((1, 2**k), devices=jax.devices()[:2**k])
+    else:
+        k = int(np.log2(mesh.devices.size)) if k is None else k
+
+    circ = _full_circuit(lp, window)
+    splan = compile_sharded(circ, k, window=window)
+    run = make_sharded_planar_runner(splan, mesh)
+    psi = run(sharded_zero_state(lp.n, mesh))
+    if lp.measure_basis is None:
+        return None, psi, splan
+    probs = np.asarray(
+        sharded_probs_fn(splan, mesh, targets=lp.measure_targets)(psi))
+    finish_lowered(lp, probs)
+    return probs, psi, splan
 
 
 def run_lowered(lp: LoweredProgram, window: int = 7, use_planar: bool = True):
@@ -233,7 +400,9 @@ def run_lowered(lp: LoweredProgram, window: int = 7, use_planar: bool = True):
     if basis.numQubits == 1 and all(
             np.allclose(k, e) for k, e in zip(
                 basis.kets, np.eye(2, dtype=complex))):
-        return np.asarray(probs_fn(targets)), psi
+        probs = np.asarray(probs_fn(targets))
+        finish_lowered(lp, probs)
+        return probs, psi
 
     # general product basis: rotate the measured qubits into the basis frame
     # (B† per block), then read computation probabilities
@@ -251,6 +420,9 @@ def run_lowered(lp: LoweredProgram, window: int = 7, use_planar: bool = True):
     post_plan = compile_circuit(post, window=window)
     if use_planar:
         psi_rot = apply_plan_planar(psi, post_plan)
-        return np.asarray(planar_probs(psi_rot, targets, lp.n)), psi
-    psi_rot = apply_plan(psi, post_plan)
-    return np.asarray(computation_probs(psi_rot, targets, lp.n)), psi
+        probs = np.asarray(planar_probs(psi_rot, targets, lp.n))
+    else:
+        psi_rot = apply_plan(psi, post_plan)
+        probs = np.asarray(computation_probs(psi_rot, targets, lp.n))
+    finish_lowered(lp, probs)
+    return probs, psi

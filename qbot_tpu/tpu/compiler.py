@@ -36,7 +36,8 @@ from qbot_tpu.ops.gates import controlled
 from qbot_tpu.tpu.circuit import Circuit, CircuitOp
 
 __all__ = ["Term", "WindowStep", "DiagStep", "FlipStep", "ContractStep",
-           "PairStep", "Plan", "compile_circuit", "expand_pairs"]
+           "PairStep", "Plan", "compile_circuit", "expand_pairs",
+           "gate_as_diag"]
 
 
 @dataclass(frozen=True)
@@ -115,6 +116,28 @@ def _qubit_log2(size: int) -> int:
     return int(size).bit_length() - 1
 
 
+def gate_as_diag(op: CircuitOp) -> Optional[CircuitOp]:
+    """Normalise a diagonal (possibly controlled) gate op to a 'diag' op.
+
+    A controlled diagonal gate is itself diagonal (identity on the
+    non-triggered block), so e.g. a multi-controlled-Z over ALL qubits
+    becomes one elementwise pass — and, on a sharded register, a purely
+    local multiply with zero communication — instead of a full-space
+    contraction.  Returns None when the op is not a static diagonal gate.
+    """
+    if op.kind != "gate" or op.matrix is None:
+        return None
+    m = np.asarray(op.matrix)
+    if m.ndim != 2 or not np.allclose(m, np.diag(np.diag(m))):
+        return None
+    d = np.diag(m).astype(np.complex128)
+    if op.controls:
+        full = np.ones(2 ** len(op.controls + op.targets), np.complex128)
+        full[-d.shape[0]:] = d
+        d = full
+    return CircuitOp("diag", tuple(op.controls) + tuple(op.targets), (), d)
+
+
 def compile_circuit(circ: Circuit, window: int = 7,
                     pair: bool = True) -> Plan:
     n = circ.n
@@ -158,6 +181,9 @@ def compile_circuit(circ: Circuit, window: int = 7,
             flush(gi)
 
     for op in circ.ops:
+        dop = gate_as_diag(op)
+        if dop is not None:
+            op = dop
         if op.kind == "flip":
             flush_overlapping(op.targets)
             plan.steps.append(FlipStep(op.index))

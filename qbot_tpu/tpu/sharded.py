@@ -66,7 +66,21 @@ class ShardedFlip:
     local_index: int
 
 
-Item = Union[LocalSegment, Reshard, ShardedFlip]
+@dataclass(frozen=True)
+class ShardedDiag:
+    """Diagonal unitary whose support touches sharded axes.
+
+    Diagonals factor across shards: each device multiplies by its slice of
+    the phase tensor (sharded-position bits come from the device id), so
+    NO reshard is needed — a multi-controlled-Z over every qubit is one
+    local elementwise pass.  ``positions`` are physical; ``diag`` is the
+    phase vector indexed by the bits of ``positions`` in order.
+    """
+    positions: tuple[int, ...]
+    diag: np.ndarray
+
+
+Item = Union[LocalSegment, Reshard, ShardedFlip, ShardedDiag]
 
 
 @dataclass
@@ -159,7 +173,12 @@ def compile_sharded(circ: Circuit, k: int, window: int = 7) -> ShardedPlan:
             out |= bit << (n - 1 - p)
         return out
 
-    ops = list(circ.ops)
+    from qbot_tpu.tpu.compiler import gate_as_diag
+
+    ops = []
+    for op in circ.ops:
+        dop = gate_as_diag(op)
+        ops.append(dop if dop is not None else op)
     emitted = [False] * len(ops)
     for i, op in enumerate(ops):
         if emitted[i]:
@@ -169,6 +188,14 @@ def compile_sharded(circ: Circuit, k: int, window: int = 7) -> ShardedPlan:
             mp = physical_index(op.index)
             splan.items.append(ShardedFlip(mp >> (n - k),
                                            mp & ((1 << (n - k)) - 1)))
+            emitted[i] = True
+            continue
+        if op.kind == "diag" and not is_local(op):
+            # diagonals factor across shards: emit in place, no reshard
+            flush()
+            splan.items.append(ShardedDiag(
+                tuple(pos[q] for q in op.targets),
+                np.asarray(op.matrix, np.complex128)))
             emitted[i] = True
             continue
         if not is_local(op):
@@ -243,6 +270,39 @@ def make_sharded_planar_runner(splan: ShardedPlan, mesh: Mesh,
         raise ValueError(f"mesh axis {axis_name!r} size != {K}")
     n_local = n - k
 
+    def apply_sharded_diag(psi, item: ShardedDiag):
+        """Elementwise multiply by this shard's slice of the phase tensor."""
+        S = len(item.positions)
+        dev = jax.lax.axis_index(axis_name)
+        dr = jnp.asarray(item.diag.real.reshape((2,) * S), psi.dtype)
+        di = jnp.asarray(item.diag.imag.reshape((2,) * S), psi.dtype)
+        # contract the sharded-position axes with the device-id bits
+        # (descending axis order keeps earlier axis numbers valid)
+        local_axes = []                  # local axis per remaining dr axis
+        for ax in range(S - 1, -1, -1):
+            p = item.positions[ax]
+            if p < k:
+                bit = (dev >> (k - 1 - p)) & 1
+                dr = jnp.take(dr, bit, axis=ax)
+                di = jnp.take(di, bit, axis=ax)
+            else:
+                local_axes.append(p - k)
+        local_axes.reverse()             # now in dr-axis order
+        order = list(np.argsort(local_axes))
+        if local_axes:
+            dr = jnp.transpose(dr, order)
+            di = jnp.transpose(di, order)
+        shape = [1] * n_local
+        for a in local_axes:
+            shape[a] = 2
+        dr = dr.reshape(shape)
+        di = di.reshape(shape)
+        t = psi.reshape((2,) + (2,) * n_local)
+        pr, pi = t[0], t[1]
+        out_r = dr * pr - di * pi
+        out_i = dr * pi + di * pr
+        return jnp.stack([out_r, out_i]).reshape(psi.shape)
+
     def body(psi, params):
         # psi: local planar (2, 2^(n-k))
         for item in splan.items:
@@ -252,6 +312,8 @@ def make_sharded_planar_runner(splan: ShardedPlan, mesh: Mesh,
                 here = jax.lax.axis_index(axis_name) == item.owner
                 sign = jnp.where(here, -1.0, 1.0).astype(psi.dtype)
                 psi = psi.at[:, item.local_index].multiply(sign)
+            elif isinstance(item, ShardedDiag):
+                psi = apply_sharded_diag(psi, item)
             else:                        # Reshard
                 pre = 2 ** (item.m - k)
                 post = 2 ** (n - item.m - k)

@@ -92,9 +92,25 @@ class TestLowering:
             lower_program("qset comp[0]\ngate pauliXGate\nqset comp[1]")
 
     def test_ops_after_measurement_rejected(self):
+        # lowering stops at the final meas; quantum ops in the classical
+        # epilogue are rejected when the program runs
+        lp = lower_program("qset comp[0]\nmeas x ; comp\ngate pauliXGate")
         with pytest.raises(LoweringError):
-            lower_program(
-                "qset comp[0]\nmeas x ; comp\ngate pauliXGate")
+            run_lowered(lp)
+
+    def test_epilogue_binds_result_and_runs(self, capsys):
+        lp = lower_program(
+            "qset tensorProd(comp[0], comp[0])\n"
+            "gate hadamardGate ; 0\n"
+            "gate pauliXGate ; 1 ; 0\n"
+            "meas out ; comp\n"
+            "cout out\n"
+            "pydo checks.append(out.probs[0])" .replace("checks", "__c"))
+        lp.namespace["__c"] = []
+        run_lowered(lp)
+        assert "|0〉|0〉- 0.5" in capsys.readouterr().out
+        assert abs(lp.namespace["__c"][0] - 0.5) < 1e-6
+        assert lp.namespace["out"].probs[3] == 0.5
 
     def test_large_register_lowering(self):
         """A register far beyond the dense interpreter's comfort zone."""

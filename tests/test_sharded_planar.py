@@ -149,3 +149,107 @@ class TestShardedProbs:
         want = np.asarray(planar_probs(jnp.asarray(_unsharded(c, n)),
                                        targets=[0, 7], n=n))
         np.testing.assert_allclose(probs, want, atol=1e-5)
+
+
+class TestShardedLowering:
+    def test_deutsch_sharded_matches_unsharded(self):
+        from qbot_tpu.frontend.lowering import (
+            lower_program,
+            run_lowered,
+            run_lowered_sharded,
+        )
+
+        src = """qset tensorExp(ketToDensity(np_array([1,0])), 5)
+gate hadamardGate ; 0
+gate hadamardGate ; 1
+gate hadamardGate ; 2
+gate pauliXGate ; 4
+gate hadamardGate ; 4
+gate simonsGate(3, lambda x: x % 2) ; 0
+meas res ; computation ; [0,1,2]
+"""
+        lp = lower_program(src)
+        want, _ = run_lowered(lp)
+        got, _, splan = run_lowered_sharded(lp, k=2)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_nontrivial_initial_state_prep(self):
+        from qbot_tpu.frontend.lowering import (
+            lower_program,
+            run_lowered,
+            run_lowered_sharded,
+        )
+
+        # |+⟩⊗|1⟩⊗|0...⟩ initial product state exercises ket→unitary prep
+        src = """qset tensorProd(ketToDensity(np_array([1,1])/np_sqrt(2)), ketToDensity(np_array([0,1])), tensorExp(ketToDensity(np_array([1,0])), 4))
+gate pauliXGate ; 2 ; [1]
+meas res ; computation ; [0,1,2]
+"""
+        lp = lower_program(src)
+        want, _ = run_lowered(lp)
+        got, _, _ = run_lowered_sharded(lp, k=3)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_hadamard_basis_measurement_sharded(self):
+        from qbot_tpu.frontend.lowering import (
+            lower_program,
+            run_lowered,
+            run_lowered_sharded,
+        )
+
+        src = """qset tensorExp(ketToDensity(np_array([1,0])), 6)
+gate hadamardGate ; 3
+meas res ; hadamard ; [3,4]
+"""
+        lp = lower_program(src)
+        want, _ = run_lowered(lp)
+        got, _, _ = run_lowered_sharded(lp, k=2)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestShardedDiag:
+    def test_mcz_over_all_qubits_no_reshard(self):
+        from qbot_tpu.tpu.sharded import ShardedDiag
+
+        # multi-controlled-Z over EVERY qubit: diagonal, so shardable with
+        # zero communication (previously unshardeable: global support)
+        n, k = 8, 3
+        import qbot_tpu.ops.gates as g
+
+        c = Circuit(n)
+        for q in range(n):
+            c.h(q)
+        c.gate(g.pauli_z(), [n - 1], list(range(n - 1)))
+        for q in range(n):
+            c.h(q)
+        splan = compile_sharded(c, k)
+        assert any(isinstance(i, ShardedDiag) for i in splan.items)
+        want = _unsharded(c, n)
+        got, _, _ = _sharded(c, n, k)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_phase_diag_on_sharded_and_local_qubits(self):
+        n, k = 8, 3
+        c = Circuit(n)
+        for q in range(n):
+            c.h(q)
+        # diagonal over qubits straddling the shard boundary, unsorted
+        c.diagonal(np.exp(1j * np.linspace(0.3, 2.1, 8)), [5, 1, 6])
+        c.gate(np.diag([1, 1j]).astype(complex), [2])     # S gate, sharded
+        want = _unsharded(c, n)
+        got, splan, _ = _sharded(c, n, k)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_diag_normalization_in_compiler(self):
+        from qbot_tpu.tpu.compiler import ContractStep, gate_as_diag
+
+        import qbot_tpu.ops.gates as g
+
+        # cross-window controlled-Z compiles to a DiagStep, not a big
+        # block-diag contraction
+        c = Circuit(10).h(0).cz(0, 9)
+        plan = compile_circuit(c, window=7)
+        kinds = [type(s).__name__ for s in plan.steps]
+        assert "ContractStep" not in kinds
+        # non-diagonal gates are untouched
+        assert gate_as_diag(c.ops[0]) is None
