@@ -96,7 +96,9 @@ def main(argv=None) -> int:
                     print(f"sharding error: {e}", file=sys.stderr)
                     return 1
                 print(f"sharded: 2^{args.shard} devices, "
-                      f"{splan.num_reshards} reshards", file=sys.stderr)
+                      f"{splan.num_reshards} reshards, "
+                      f"{splan.comm_bytes()} interconnect bytes/run",
+                      file=sys.stderr)
             else:
                 probs, _ = run_lowered(lp)
             # programs with a classical epilogue print their own output

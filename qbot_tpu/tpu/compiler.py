@@ -36,8 +36,8 @@ from qbot_tpu.ops.gates import controlled
 from qbot_tpu.tpu.circuit import Circuit, CircuitOp
 
 __all__ = ["Term", "WindowStep", "DiagStep", "FlipStep", "ContractStep",
-           "PairStep", "Plan", "compile_circuit", "expand_pairs",
-           "gate_as_diag"]
+           "PairStep", "ReflectStep", "Plan", "compile_circuit",
+           "expand_pairs", "expand_reflections", "gate_as_diag"]
 
 
 @dataclass(frozen=True)
@@ -87,6 +87,26 @@ class PairStep:
 
 
 @dataclass(frozen=True)
+class ReflectStep:
+    """Householder reflection ``ψ → ψ − 2⟨v|ψ⟩v`` about a product state.
+
+    Detected from the algebraic pattern ``A-layer · flip(idx) · A†-layer``
+    (windows with inverse unitaries sandwiching a basis-state sign flip),
+    which equals ``I − 2|v⟩⟨v|`` with ``v = A†|idx⟩`` — a PRODUCT of
+    per-block vectors, so the whole two-layer sandwich collapses to one
+    read pass (the ⟨v|ψ⟩ contraction) plus one read+write pass (the rank-1
+    update), instead of 2× full window layers.  This is exactly Grover's
+    diffusion operator, recognised structurally rather than special-cased.
+
+    ``factors[i]`` is the complex vector for the i-th contiguous qubit
+    block; blocks tile [0, n) in order.  ``original`` keeps the replaced
+    steps for executors that cannot run reflections directly (density).
+    """
+    factors: tuple[np.ndarray, ...]
+    original: tuple = ()
+
+
+@dataclass(frozen=True)
 class ContractStep:
     targets: tuple[int, ...]          # includes controls (leading)
     matrix: Optional[np.ndarray]
@@ -95,7 +115,8 @@ class ContractStep:
     num_controls: int = 0
 
 
-Step = Union[WindowStep, DiagStep, FlipStep, ContractStep, PairStep]
+Step = Union[WindowStep, DiagStep, FlipStep, ContractStep, PairStep,
+             ReflectStep]
 
 
 @dataclass
@@ -110,6 +131,13 @@ class Plan:
     def num_passes(self) -> int:
         """Full-state HBM passes this plan costs (the perf figure of merit)."""
         return len(self.steps)
+
+    def hbm_bytes(self, dtype_bytes: int = 4, planar: bool = True) -> int:
+        """HBM traffic per execution: read + write of the planar state per
+        pass (window matrices are VMEM-resident noise by comparison)."""
+        components = 2 if planar else 1
+        state = components * (2**self.n) * dtype_bytes
+        return 2 * state * self.num_passes
 
 
 def _qubit_log2(size: int) -> int:
@@ -231,10 +259,97 @@ def compile_circuit(circ: Circuit, window: int = 7,
 
     for gi in sorted(pending):
         flush(gi)
+    plan.steps = _detect_reflections(plan.steps, n)
     plan.steps = _fuse_flips(plan.steps)
     if pair:
         plan.steps = _pair_windows(plan.steps, n)
     return plan
+
+
+def _static_window_matrix(step: WindowStep):
+    """Folded window unitary when every term is static, else None."""
+    if any(t.matrix is None for t in step.terms):
+        return None
+    from qbot_tpu.tpu.planar import fold_window_static
+    return fold_window_static(step)
+
+
+def _detect_reflections(steps: list[Step], n: int) -> list[Step]:
+    """Replace ``windows_A · flip(idx) · windows_B`` with a ReflectStep when
+    B is the blockwise inverse of A (same window partition, B_w ≈ A_w†).
+
+    Runs before flip fusion and pairing, so flips are still standalone and
+    window runs are contiguous.  Windows on disjoint qubits commute, so
+    matching is by (start, width) regardless of order within each run.
+    """
+    out: list[Step] = list(steps)
+    i = 0
+    while i < len(out):
+        step = out[i]
+        if not isinstance(step, FlipStep):
+            i += 1
+            continue
+        # maximal window runs around the flip
+        a_lo = i
+        while a_lo > 0 and isinstance(out[a_lo - 1], WindowStep):
+            a_lo -= 1
+        b_hi = i + 1
+        while b_hi < len(out) and isinstance(out[b_hi], WindowStep):
+            b_hi += 1
+        a_run = out[a_lo:i]
+        b_run = out[i + 1:b_hi]
+        if not a_run or not b_run:
+            i += 1
+            continue
+        a_by = {(w.start, w.width): w for w in a_run}
+        b_by = {(w.start, w.width): w for w in b_run}
+        if len(a_by) != len(a_run) or set(a_by) != set(b_by):
+            i += 1
+            continue
+        mats = {}
+        ok = True
+        for key, wa in a_by.items():
+            ma = _static_window_matrix(wa)
+            mb = _static_window_matrix(b_by[key])
+            if ma is None or mb is None or not np.allclose(
+                    mb, ma.conj().T, atol=1e-9):
+                ok = False
+                break
+            mats[key] = ma
+        if not ok:
+            i += 1
+            continue
+        # v = A† |idx⟩, a product over blocks tiling [0, n):
+        # window block → conj of row idx_w of A_w; gap block → basis vector
+        idx = step.index
+        factors: list[np.ndarray] = []
+        covered = sorted(a_by)
+        q = 0
+        for start, width in covered + [(n, 0)]:
+            if q < start:                # gap: identity window
+                gap = start - q
+                bits = (idx >> (n - start)) & ((1 << gap) - 1)
+                e = np.zeros(2**gap, np.complex128)
+                e[bits] = 1.0
+                factors.append(e)
+            if width:
+                w_idx = (idx >> (n - start - width)) & ((1 << width) - 1)
+                factors.append(np.conj(mats[(start, width)][w_idx, :]))
+            q = start + width
+        out[a_lo:b_hi] = [ReflectStep(tuple(factors),
+                                      tuple(out[a_lo:b_hi]))]
+        i = a_lo + 1
+    return out
+
+
+def expand_reflections(steps):
+    """Iterate steps with ReflectSteps expanded back to their window/flip
+    form (for executors without a reflection fast path)."""
+    for step in steps:
+        if isinstance(step, ReflectStep):
+            yield from step.original
+        else:
+            yield step
 
 
 def _pairable(a: Step, b: Step, n: int) -> bool:

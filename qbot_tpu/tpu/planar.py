@@ -32,6 +32,7 @@ from qbot_tpu.tpu.compiler import (
     FlipStep,
     PairStep,
     Plan,
+    ReflectStep,
     Term,
     WindowStep,
 )
@@ -180,6 +181,48 @@ def _apply_pair_planar(psi, n: int, step: PairStep, params):
         W1r, W1i, W2r, W2i, step.first.pre_flips)
 
 
+def _apply_reflect_planar(psi, n: int, step: ReflectStep):
+    """ψ → ψ − 2⟨v|ψ⟩v for product |v⟩ = ⊗ factors.
+
+    One read pass (a chain of ever-smaller contractions; the first reads
+    the full state once) + one fused elementwise update pass (the ⊗-product
+    of factors broadcasts in-register — XLA fuses it into the update, so
+    |v⟩ is never materialised in HBM).
+    """
+    dims = tuple(f.shape[0] for f in step.factors)
+    t_r = psi[0].reshape(dims)
+    t_i = psi[1].reshape(dims)
+    planar_factors = []
+    for f in step.factors:
+        fr, fi = _planar_pair(np.asarray(f, np.complex128))
+        planar_factors.append((jnp.asarray(fr), jnp.asarray(fi)))
+
+    # c = ⟨v|ψ⟩: contract conj(f) over the leading axis repeatedly
+    cr, ci = t_r, t_i
+    for fr, fi in planar_factors:
+        new_r = jnp.tensordot(fr, cr, axes=(0, 0)) \
+            + jnp.tensordot(fi, ci, axes=(0, 0))
+        new_i = jnp.tensordot(fr, ci, axes=(0, 0)) \
+            - jnp.tensordot(fi, cr, axes=(0, 0))
+        cr, ci = new_r, new_i
+    # cr/ci are now scalars
+
+    # V = ⊗ factors, built as a broadcast product (fuses into the update)
+    vr = jnp.asarray(1.0, psi.dtype)
+    vi = jnp.asarray(0.0, psi.dtype)
+    for ax, (fr, fi) in enumerate(planar_factors):
+        shape = [1] * len(dims)
+        shape[ax] = dims[ax]
+        br, bi = fr.reshape(shape), fi.reshape(shape)
+        vr, vi = vr * br - vi * bi, vr * bi + vi * br
+
+    sr = 2.0 * (cr * vr - ci * vi)
+    si = 2.0 * (cr * vi + ci * vr)
+    out_r = t_r - sr
+    out_i = t_i - si
+    return jnp.stack([out_r.reshape(-1), out_i.reshape(-1)])
+
+
 def _apply_diag_planar(psi, n: int, step: DiagStep):
     k = len(step.targets)
     d = np.asarray(step.diag, dtype=np.complex128)
@@ -226,6 +269,8 @@ def apply_plan_planar(psi: jnp.ndarray, plan: Plan, params=None) -> jnp.ndarray:
             psi = _apply_window_planar(psi, n, step, params)
         elif isinstance(step, PairStep):
             psi = _apply_pair_planar(psi, n, step, params)
+        elif isinstance(step, ReflectStep):
+            psi = _apply_reflect_planar(psi, n, step)
         elif isinstance(step, DiagStep):
             psi = _apply_diag_planar(psi, n, step)
         elif isinstance(step, FlipStep):
@@ -285,7 +330,9 @@ def apply_plan_density_planar(rho: jnp.ndarray, plan: Plan,
     d = 2**n
     shape = rho.shape
     flat = rho.reshape(2, -1)
-    for step in plan.steps:
+    from qbot_tpu.tpu.compiler import expand_reflections
+
+    for step in expand_reflections(plan.steps):
         if isinstance(step, WindowStep):
             if step.pre_flips:
                 flat = _density_flips(flat.reshape(2, d, d),

@@ -97,6 +97,23 @@ class ShardedPlan:
     def num_reshards(self) -> int:
         return sum(isinstance(i, Reshard) for i in self.items)
 
+    def comm_bytes(self, dtype_bytes: int = 4) -> int:
+        """Interconnect traffic per execution: every reshard all_to_all
+        moves (K−1)/K of each device's planar state slice — summed over
+        devices, (K−1)/K of the full state crosses the links per reshard."""
+        K = 2**self.k
+        state = 2 * (2**self.n) * dtype_bytes        # planar (re, im)
+        return self.num_reshards * state * (K - 1) // K
+
+    def hbm_bytes(self, dtype_bytes: int = 4) -> int:
+        """Aggregate HBM traffic across shards per execution."""
+        state = 2 * (2**self.n) * dtype_bytes
+        passes = sum(i.plan.num_passes for i in self.items
+                     if isinstance(i, LocalSegment))
+        passes += sum(isinstance(i, (Reshard, ShardedDiag))
+                      for i in self.items)
+        return 2 * state * passes
+
 
 def _support(op: CircuitOp) -> tuple[int, ...]:
     return tuple(op.controls) + tuple(op.targets)

@@ -31,10 +31,12 @@ from qbot_tpu.tpu.compiler import (
     DiagStep,
     FlipStep,
     Plan,
+    ReflectStep,
     Term,
     WindowStep,
     compile_circuit,
     expand_pairs,
+    expand_reflections,
 )
 
 __all__ = ["zero_state", "fold_window", "apply_plan", "apply_plan_density",
@@ -137,12 +139,30 @@ def _apply_contract(psi: jnp.ndarray, n: int, step: ContractStep, params):
     return t.reshape(psi.shape)
 
 
+def _apply_reflect(psi: jnp.ndarray, step: ReflectStep):
+    """ψ → ψ − 2⟨v|ψ⟩v for product |v⟩ = ⊗ factors (complex dtype)."""
+    dims = tuple(f.shape[0] for f in step.factors)
+    t = psi.reshape(dims)
+    c = t
+    for f in step.factors:
+        c = jnp.tensordot(jnp.conj(jnp.asarray(f, psi.dtype)), c,
+                          axes=(0, 0))
+    v = jnp.asarray(1.0, psi.dtype)
+    for ax, f in enumerate(step.factors):
+        shape = [1] * len(dims)
+        shape[ax] = dims[ax]
+        v = v * jnp.asarray(f, psi.dtype).reshape(shape)
+    return (t - 2.0 * c * v).reshape(psi.shape)
+
+
 def apply_plan(psi: jnp.ndarray, plan: Plan, params=None) -> jnp.ndarray:
     """Run a compiled plan over a statevector (traceable)."""
     n = plan.n
     for step in expand_pairs(plan.steps):
         if isinstance(step, WindowStep):
             psi = _apply_window(psi, n, step, params)
+        elif isinstance(step, ReflectStep):
+            psi = _apply_reflect(psi, step)
         elif isinstance(step, DiagStep):
             psi = _apply_diag(psi, n, step)
         elif isinstance(step, FlipStep):
@@ -157,7 +177,7 @@ def apply_plan_density(rho: jnp.ndarray, plan: Plan, params=None) -> jnp.ndarray
     """Run a compiled plan over a density matrix: ρ → U ρ U† step by step."""
     n = plan.n
     flat = rho.reshape(-1)          # rank-2n tensor flattened
-    for step in expand_pairs(plan.steps):
+    for step in expand_pairs(expand_reflections(plan.steps)):
         if isinstance(step, WindowStep):
             if step.pre_flips:
                 d = 2**n

@@ -17,7 +17,8 @@ from typing import Any, Optional
 
 import numpy as np
 
-__all__ = ["save_checkpoint", "load_checkpoint", "CheckpointManager"]
+__all__ = ["save_checkpoint", "load_checkpoint", "CheckpointManager",
+           "OrbaxCheckpointManager", "make_checkpoint_manager"]
 
 _META = "meta.json"
 _ARRAYS = "arrays.npz"
@@ -53,6 +54,70 @@ def load_checkpoint(path: str) -> tuple[dict, dict]:
         with open(meta_path) as f:
             metadata = json.load(f)
     return arrays, metadata
+
+
+class OrbaxCheckpointManager:
+    """Orbax-backed rolling checkpoints: async, sharded-array-aware.
+
+    Preferred for multi-host / large sharded ensemble state: arrays are
+    written per-shard by their owning hosts without a host-side gather,
+    and saves overlap with computation.  Same save/restore/latest_step
+    surface as :class:`CheckpointManager`; metadata rides along as a
+    JSON-compatible pytree leaf.
+    """
+
+    def __init__(self, root: str, max_to_keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.root,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                                 enable_async_checkpointing=True),
+        )
+
+    def all_steps(self) -> list[int]:
+        return sorted(self._mgr.all_steps())
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def save(self, step: int, arrays: dict,
+             metadata: Optional[dict] = None) -> str:
+        ocp = self._ocp
+        args = {"arrays": ocp.args.StandardSave(dict(arrays))}
+        if metadata:
+            args["metadata"] = ocp.args.JsonSave(dict(metadata))
+        self._mgr.save(step, args=ocp.args.Composite(**args))
+        return os.path.join(self.root, str(step))
+
+    def restore(self, step: Optional[int] = None) -> tuple[dict, dict]:
+        ocp = self._ocp
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.root}")
+        restored = self._mgr.restore(step)
+        arrays = dict(restored.get("arrays") or {})
+        metadata = dict(restored.get("metadata") or {})
+        return arrays, metadata
+
+    def wait(self) -> None:
+        """Block until in-flight async saves land (call before exit)."""
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
+def make_checkpoint_manager(root: str, max_to_keep: int = 3):
+    """Orbax manager when available, portable npz manager otherwise."""
+    try:
+        return OrbaxCheckpointManager(root, max_to_keep)
+    except Exception:
+        return CheckpointManager(root, max_to_keep)
 
 
 class CheckpointManager:

@@ -128,17 +128,20 @@ class TestPairKernels:
         np.testing.assert_allclose(from_planar(got), want, atol=1e-4)
 
     def test_paired_plan_matches_unpaired(self, interpret_kernels):
-        """End-to-end: compile with and without pairing, same state."""
+        """End-to-end: compile with and without pairing, same state.
+
+        Layers of distinct rotations (so the H·flip·H reflection pattern
+        does NOT trigger and the windows stay windows)."""
         from qbot_tpu.tpu.compiler import PairStep
 
         n = 10
         c = Circuit(n)
         c.phase_flip(123)
         for q in range(n):
-            c.h(q)
-        c.phase_flip(0)
+            c.ry(q, 0.1 + 0.2 * q)
+        c.phase_flip(17)
         for q in range(n):
-            c.h(q)
+            c.rx(q, 0.3 + 0.1 * q)
         paired = compile_circuit(c, window=4, pair=True)
         unpaired = compile_circuit(c, window=4, pair=False)
         assert any(isinstance(s, PairStep) for s in paired.steps)

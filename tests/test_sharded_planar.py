@@ -253,3 +253,22 @@ class TestShardedDiag:
         assert "ContractStep" not in kinds
         # non-diagonal gates are untouched
         assert gate_as_diag(c.ops[0]) is None
+
+
+class TestTrafficAccounting:
+    def test_plan_hbm_bytes(self):
+        c = Circuit(10)
+        for q in range(10):
+            c.h(q)
+        plan = compile_circuit(c, window=7)       # one PairStep pass
+        assert plan.hbm_bytes() == 2 * 2 * 1024 * 4 * plan.num_passes
+
+    def test_sharded_comm_bytes(self):
+        c = Circuit(8)
+        for q in range(8):
+            c.h(q)
+        splan = compile_sharded(c, k=3)
+        # one reshard, 7/8 of the planar state crosses the links
+        assert splan.num_reshards == 1
+        assert splan.comm_bytes() == 2 * 256 * 4 * 7 // 8
+        assert splan.hbm_bytes() > 0

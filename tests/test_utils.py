@@ -113,3 +113,45 @@ class TestHelpers:
         # fixed vs reference: ket labels use log2(size) bits
         s = state_vec_str(np.array([1, 0, 0, 0], dtype=complex))
         assert "|00〉" in s
+
+
+class TestOrbaxCheckpoint:
+    def test_orbax_roundtrip(self, tmp_path):
+        ocp = pytest.importorskip("orbax.checkpoint")
+        from qbot_tpu.utils.checkpoint import OrbaxCheckpointManager
+
+        mgr = OrbaxCheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
+        arrays = {"psi": np.arange(8.0), "w": np.ones(3)}
+        mgr.save(0, arrays, {"pc": 7})
+        mgr.save(1, {"psi": np.arange(8.0) * 2, "w": np.zeros(3)}, {"pc": 9})
+        mgr.wait()
+        assert mgr.latest_step() == 1
+        got, meta = mgr.restore()
+        np.testing.assert_allclose(np.asarray(got["psi"]), np.arange(8.0) * 2)
+        assert meta["pc"] == 9
+        got0, meta0 = mgr.restore(0)
+        assert meta0["pc"] == 7
+        mgr.close()
+
+    def test_orbax_retention(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        from qbot_tpu.utils.checkpoint import OrbaxCheckpointManager
+
+        mgr = OrbaxCheckpointManager(str(tmp_path / "ck2"), max_to_keep=2)
+        for s in range(4):
+            mgr.save(s, {"x": np.full(2, float(s))})
+        mgr.wait()
+        assert mgr.all_steps() == [2, 3]
+        mgr.close()
+
+    def test_factory_prefers_orbax(self, tmp_path):
+        from qbot_tpu.utils.checkpoint import make_checkpoint_manager
+
+        mgr = make_checkpoint_manager(str(tmp_path / "ck3"))
+        mgr.save(0, {"x": np.ones(2)})
+        if hasattr(mgr, "wait"):
+            mgr.wait()
+        arrays, _ = mgr.restore()
+        np.testing.assert_allclose(np.asarray(arrays["x"]), np.ones(2))
+        if hasattr(mgr, "close"):
+            mgr.close()
