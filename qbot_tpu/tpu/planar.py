@@ -197,15 +197,16 @@ def _apply_reflect_planar(psi, n: int, step: ReflectStep):
         fr, fi = _planar_pair(np.asarray(f, np.complex128))
         planar_factors.append((jnp.asarray(fr), jnp.asarray(fi)))
 
-    # c = ⟨v|ψ⟩: contract conj(f) over the leading axis repeatedly
-    cr, ci = t_r, t_i
+    # c = ⟨v|ψ⟩: contract conj(f) over the leading axis repeatedly.  Each
+    # step is ONE einsum mixing both planar components — the first reads
+    # the full state exactly once (vs 4 separate tensordots reading it
+    # twice); later steps touch ever-smaller tensors.
+    t = psi
     for fr, fi in planar_factors:
-        new_r = jnp.tensordot(fr, cr, axes=(0, 0)) \
-            + jnp.tensordot(fi, ci, axes=(0, 0))
-        new_i = jnp.tensordot(fr, ci, axes=(0, 0)) \
-            - jnp.tensordot(fi, cr, axes=(0, 0))
-        cr, ci = new_r, new_i
-    # cr/ci are now scalars
+        d0 = fr.shape[0]
+        W = jnp.stack([jnp.stack([fr, fi]), jnp.stack([-fi, fr])])
+        t = jnp.einsum("acx,cxr->ar", W, t.reshape(2, d0, -1))
+    cr, ci = t[0, 0], t[1, 0]
 
     # V = ⊗ factors, built as a broadcast product (fuses into the update)
     vr = jnp.asarray(1.0, psi.dtype)
