@@ -48,9 +48,12 @@ def tpu_gates_per_sec() -> tuple[float, dict]:
                                      init_plan=compile_circuit(init))
     psi0 = zero_state_planar(n)
 
+    out = None
+
     def timed_run():
         # fetch a scalar to force full completion: block_until_ready alone
         # does not synchronise through the axon remote-execution tunnel
+        nonlocal out
         t0 = time.perf_counter()
         out = run(psi0)
         _ = float(jnp.asarray(out[0, 0]))
@@ -59,6 +62,14 @@ def tpu_gates_per_sec() -> tuple[float, dict]:
     compile_s = timed_run()                # compile + first run
     elapsed = min(timed_run() for _ in range(2))
 
+    # numeric correctness on the real chip: Grover's marked-state
+    # probability after R iterations is sin²((2R+1)·asin(2^{-n/2}))
+    # in exact arithmetic — a hardware-precision canary
+    amp = jnp.asarray(out[:, 12345])
+    p_marked = float(amp[0]) ** 2 + float(amp[1]) ** 2
+    import math
+    p_expected = math.sin((2 * REPEATS + 1) * math.asin(2 ** (-n / 2))) ** 2
+
     gates = body.gate_count * REPEATS + init.gate_count
     info = {
         "qubits": n,
@@ -66,23 +77,32 @@ def tpu_gates_per_sec() -> tuple[float, dict]:
         "hbm_passes_per_iteration": body_plan.num_passes,
         "compile_seconds": round(compile_s, 2),
         "run_seconds": round(elapsed, 4),
+        "marked_prob": round(p_marked, 8),
+        "marked_prob_expected": round(p_expected, 8),
         "device": str(jax.devices()[0]),
     }
     return gates / elapsed, info
 
 
 def numpy_baseline_gates_per_sec() -> float:
-    """Same task on CPU NumPy: contraction-based statevector gate apply."""
+    """Same task on CPU NumPy: contraction-based statevector gate apply.
+
+    Warm-up gate first (first-touch allocation), then per-gate median —
+    the raw first-run timing is noisy at 0.5 GB working set.
+    """
     from qbot_tpu.ops import core, gates
 
     psi = np.zeros(2**N, dtype=np.complex64)
     psi[0] = 1.0
     h = gates.hadamard().astype(np.complex64)
-    t0 = time.perf_counter()
-    for q in range(BASELINE_GATES):
+    psi = core.apply_gate_state(psi, h, [0])       # warm-up
+    times = []
+    for q in range(1, 1 + BASELINE_GATES):
+        t0 = time.perf_counter()
         psi = core.apply_gate_state(psi, h, [q])
-    elapsed = time.perf_counter() - t0
-    return BASELINE_GATES / elapsed
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return 1.0 / times[len(times) // 2]
 
 
 def main():

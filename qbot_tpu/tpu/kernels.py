@@ -28,8 +28,44 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Matmul precision. Mosaic's DEFAULT dot precision is single-pass bf16 —
+# unacceptable for hundreds of sequential unitary applications — so the
+# kernels request full f32 (6-pass bf16 decomposition) explicitly.
+# "bf16_3x" is a measured ~f32-accuracy/speed tradeoff (manual Dekker
+# split, 3 MXU passes, drops the lo*lo term); "bf16" is the raw fast path
+# for error-tolerant exploratory runs.
+_DOT_MODE = "f32"                # "f32" | "bf16_3x" | "bf16"
+
+
+def set_dot_mode(mode: str) -> None:
+    global _DOT_MODE
+    if mode not in ("f32", "bf16_3x", "bf16"):
+        raise ValueError(f"unknown dot mode {mode!r}")
+    _DOT_MODE = mode
+
+
+def dot_mode() -> str:
+    return _DOT_MODE
+
+
+def _dot(a, b):
+    if _DOT_MODE == "f32":
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    if _DOT_MODE == "bf16":
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        return jnp.dot(x, y, preferred_element_type=jnp.float32)
+
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
 __all__ = ["planar_window_apply", "planar_pair_window_apply",
-           "set_kernel_mode", "kernel_mode"]
+           "set_kernel_mode", "kernel_mode", "set_dot_mode", "dot_mode"]
 
 _MODE = "auto"          # "auto" | "on" | "off" | "interpret"
 
@@ -82,10 +118,10 @@ def _left_kernel_body(w_ref, p_ref, o_ref, *, flips, D, block_b):
             sign = sign * (1.0 - 2.0 * here * hit)
         pr = pr * sign
         pi = pi * sign
-    rr = jnp.dot(wr, pr, preferred_element_type=jnp.float32)
-    ii = jnp.dot(wi, pi, preferred_element_type=jnp.float32)
-    ri = jnp.dot(wr, pi, preferred_element_type=jnp.float32)
-    ir = jnp.dot(wi, pr, preferred_element_type=jnp.float32)
+    rr = _dot(wr, pr)
+    ii = _dot(wi, pi)
+    ri = _dot(wr, pi)
+    ir = _dot(wi, pr)
     o_ref[0, 0] = rr - ii
     o_ref[1, 0] = ri + ir
 
@@ -109,6 +145,9 @@ def _left_multiply(w, p, block_b: int, flips=()):
         out_specs=pl.BlockSpec((2, 1, D, block_b), lambda a, b: (0, a, 0, b),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(w, p)
 
@@ -133,10 +172,10 @@ def _right_kernel_body(w_ref, p_ref, o_ref, *, flips, D, block_a):
             sign = sign * (1.0 - 2.0 * here * hit)
         pr = pr * sign
         pi = pi * sign
-    rr = jnp.dot(pr, wr_t, preferred_element_type=jnp.float32)
-    ii = jnp.dot(pi, wi_t, preferred_element_type=jnp.float32)
-    ri = jnp.dot(pi, wr_t, preferred_element_type=jnp.float32)
-    ir = jnp.dot(pr, wi_t, preferred_element_type=jnp.float32)
+    rr = _dot(pr, wr_t)
+    ii = _dot(pi, wi_t)
+    ri = _dot(pi, wr_t)
+    ir = _dot(pr, wi_t)
     o_ref[0] = rr - ii
     o_ref[1] = ri + ir
 
@@ -160,6 +199,9 @@ def _right_multiply(w, p, block_a: int, flips=()):
         out_specs=pl.BlockSpec((2, block_a, D), lambda a: (0, a, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(w, p)
 
@@ -189,14 +231,14 @@ def _pair_b1_body(w1_ref, w2_ref, p_ref, o_ref, *, flips, D1, D2):
             sign = sign * (1.0 - 2.0 * here * hit)
         xr = xr * sign
         xi = xi * sign
-    yr = (jnp.dot(w1r, xr, preferred_element_type=jnp.float32)
-          - jnp.dot(w1i, xi, preferred_element_type=jnp.float32))
-    yi = (jnp.dot(w1r, xi, preferred_element_type=jnp.float32)
-          + jnp.dot(w1i, xr, preferred_element_type=jnp.float32))
-    o_ref[0, 0] = (jnp.dot(yr, w2rt, preferred_element_type=jnp.float32)
-                   - jnp.dot(yi, w2it, preferred_element_type=jnp.float32))
-    o_ref[1, 0] = (jnp.dot(yr, w2it, preferred_element_type=jnp.float32)
-                   + jnp.dot(yi, w2rt, preferred_element_type=jnp.float32))
+    yr = (_dot(w1r, xr)
+          - _dot(w1i, xi))
+    yi = (_dot(w1r, xi)
+          + _dot(w1i, xr))
+    o_ref[0, 0] = (_dot(yr, w2rt)
+                   - _dot(yi, w2it))
+    o_ref[1, 0] = (_dot(yr, w2it)
+                   + _dot(yi, w2rt))
 
 
 @functools.partial(jax.jit, static_argnames=("flips",))
@@ -218,6 +260,9 @@ def _pair_b1(w1, w2, p, flips=()):
         out_specs=pl.BlockSpec((2, 1, D1, D2), lambda a: (0, a, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(w1, w2, p)
 
@@ -244,20 +289,16 @@ def _pair_bt_body(w1_ref, w2_ref, p_ref, o_ref, *, flips, D1, D2, block_b):
         xi = xi * sign
     xr2 = xr.reshape(D1, D2 * block_b)
     xi2 = xi.reshape(D1, D2 * block_b)
-    yr = (jnp.dot(w1r, xr2, preferred_element_type=jnp.float32)
-          - jnp.dot(w1i, xi2, preferred_element_type=jnp.float32)
+    yr = (_dot(w1r, xr2)
+          - _dot(w1i, xi2)
           ).reshape(D1, D2, block_b)
-    yi = (jnp.dot(w1r, xi2, preferred_element_type=jnp.float32)
-          + jnp.dot(w1i, xr2, preferred_element_type=jnp.float32)
+    yi = (_dot(w1r, xi2)
+          + _dot(w1i, xr2)
           ).reshape(D1, D2, block_b)
     for j in range(D1):                 # D1 <= 32 by compile-time pairing
         ar, ai = yr[j], yi[j]           # (D2, Bt)
-        o_ref[0, 0, j] = (jnp.dot(w2r, ar, preferred_element_type=jnp.float32)
-                          - jnp.dot(w2i, ai,
-                                    preferred_element_type=jnp.float32))
-        o_ref[1, 0, j] = (jnp.dot(w2r, ai, preferred_element_type=jnp.float32)
-                          + jnp.dot(w2i, ar,
-                                    preferred_element_type=jnp.float32))
+        o_ref[0, 0, j] = _dot(w2r, ar) - _dot(w2i, ai)
+        o_ref[1, 0, j] = _dot(w2r, ai) + _dot(w2i, ar)
 
 
 @functools.partial(jax.jit, static_argnames=("block_b", "flips"))
@@ -286,6 +327,7 @@ def _pair_bt(w1, w2, p, block_b: int, flips=()):
         # double-buffered (D1, D2, Bt) in+out tiles exceed the 16 MB default
         # scoped-vmem budget; the chip has 128 MB — raise the ceiling
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(w1, w2, p)
@@ -372,7 +414,8 @@ def planar_window_apply(psi, n: int, start: int, width: int, Wr, Wi,
     pr, pi = p3[0], p3[1]
 
     def mm(W, x):
-        return jnp.einsum("ij,ajb->aib", W, x)
+        return jnp.einsum("ij,ajb->aib", W, x,
+                          precision=jax.lax.Precision.HIGHEST)
 
     out_r = mm(Wr, pr) - mm(Wi, pi)
     out_i = mm(Wr, pi) + mm(Wi, pr)

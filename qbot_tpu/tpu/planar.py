@@ -25,6 +25,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# XLA's default TPU matmul precision is bf16; the simulation paths need
+# full f32 — request it explicitly on every contraction.
+_PREC = jax.lax.Precision.HIGHEST
+
 from qbot_tpu.ops.gates import controlled as controlled_np
 from qbot_tpu.tpu.compiler import (
     ContractStep,
@@ -124,7 +128,8 @@ def _fold_contract(gr, gi, Wr, Wi, positions):
     ax = (list(range(k, 2 * k)), list(positions))
 
     def con(g, W):
-        out = jnp.tensordot(g.reshape((2,) * (2 * k)), W, axes=ax)
+        out = jnp.tensordot(g.reshape((2,) * (2 * k)), W, axes=ax,
+                            precision=_PREC)
         return jnp.moveaxis(out, list(range(k)), list(positions))
 
     new_r = con(gr, Wr) - con(gi, Wi)
@@ -205,7 +210,8 @@ def _apply_reflect_planar(psi, n: int, step: ReflectStep):
     for fr, fi in planar_factors:
         d0 = fr.shape[0]
         W = jnp.stack([jnp.stack([fr, fi]), jnp.stack([-fi, fr])])
-        t = jnp.einsum("acx,cxr->ar", W, t.reshape(2, d0, -1))
+        t = jnp.einsum("acx,cxr->ar", W, t.reshape(2, d0, -1),
+                       precision=_PREC)
     cr, ci = t[0, 0], t[1, 0]
 
     # V = ⊗ factors, built as a broadcast product (fuses into the update)
@@ -252,7 +258,8 @@ def _apply_contract_planar(psi, n: int, step: ContractStep, params):
     ax = (list(range(k, 2 * k)), list(step.targets))
 
     def con(g, x):
-        out = jnp.tensordot(g.reshape((2,) * (2 * k)), x, axes=ax)
+        out = jnp.tensordot(g.reshape((2,) * (2 * k)), x, axes=ax,
+                            precision=_PREC)
         return jnp.moveaxis(out, list(range(k)), list(step.targets))
 
     t = psi.reshape((2,) + (2,) * n)

@@ -25,6 +25,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+_PREC = jax.lax.Precision.HIGHEST
+
 from qbot_tpu.ops.gates import controlled as _controlled_np
 from qbot_tpu.tpu.compiler import (
     ContractStep,
@@ -104,7 +106,7 @@ def _apply_window(psi: jnp.ndarray, n: int, step: WindowStep, params):
     dim = 2**step.width
     a = 2**step.start
     psi3 = psi.reshape(a, dim, -1)
-    out = jnp.einsum("ij,ajb->aib", W, psi3)
+    out = jnp.einsum("ij,ajb->aib", W, psi3, precision=_PREC)
     return out.reshape(psi.shape)
 
 
@@ -191,11 +193,11 @@ def apply_plan_density(rho: jnp.ndarray, plan: Plan, params=None) -> jnp.ndarray
             # rows: axes [step.start, ...) of the first n
             a = 2**step.start
             t = flat.reshape(a, dim, -1)
-            t = jnp.einsum("ij,ajb->aib", W, t)
+            t = jnp.einsum("ij,ajb->aib", W, t, precision=_PREC)
             # cols: same axes offset by n; conjugate (not transposed) factor
             a2 = 2 ** (n + step.start)
             t = t.reshape(a2, dim, -1)
-            t = jnp.einsum("ij,ajb->aib", jnp.conj(W), t)
+            t = jnp.einsum("ij,ajb->aib", jnp.conj(W), t, precision=_PREC)
             flat = t.reshape(-1)
         elif isinstance(step, FlipStep):
             d = 2**n
