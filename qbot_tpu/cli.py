@@ -80,6 +80,23 @@ def main(argv=None) -> int:
             pass
 
     try:
+        if args.compile_mode and args.ensemble:
+            # mid-circuit measurements on the device ensemble engine
+            from qbot_tpu.frontend.lowering import (
+                lower_program,
+                run_lowered_ensemble,
+            )
+            with open(path, "r") as f:
+                lp = lower_program(f.read(), mid_measure=True)
+            results, ens = run_lowered_ensemble(lp)
+            print(f"lowered: {lp.n} qubits, {lp.circuit.gate_count} gates, "
+                  f"{len(lp.mid_measurements)} measurements, "
+                  f"{ens.num_particles} final particles", file=sys.stderr)
+            if results and not lp.has_epilogue:
+                for name, res in results.items():
+                    print(f"{name}:")
+                    print(res, end="")
+            return 0
         if args.compile_mode:
             from qbot_tpu.frontend.lowering import lower_program, run_lowered
             with open(path, "r") as f:

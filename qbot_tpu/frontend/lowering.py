@@ -32,11 +32,51 @@ from qbot_tpu.probval import ProbVal
 from qbot_tpu.tpu.circuit import Circuit
 
 __all__ = ["LoweredProgram", "lower_program", "run_lowered",
-           "run_lowered_sharded", "finish_lowered"]
+           "run_lowered_sharded", "run_lowered_ensemble", "finish_lowered",
+           "MeasSpec"]
 
 
 class LoweringError(err.QbotScriptError):
     """The program steps outside the unitary fragment."""
+
+
+class _PendingOutcomeUse(Exception):
+    """A classical expression touched a not-yet-available outcome."""
+
+
+class PendingOutcome:
+    """Placeholder bound for a mid-circuit measurement result during
+    segmented lowering: any use before the end of the quantum program
+    signals the lowering loop (which either starts the epilogue there or
+    rejects the program)."""
+
+    def __init__(self, name: str):
+        object.__setattr__(self, "_name", name)
+
+    def _blow(self):
+        raise _PendingOutcomeUse(object.__getattribute__(self, "_name"))
+
+    def __getattr__(self, item):
+        self._blow()
+
+    def __getitem__(self, item):
+        self._blow()
+
+    def __bool__(self):
+        self._blow()
+
+    def __repr__(self):
+        self._blow()
+
+
+@dataclass(frozen=True)
+class MeasSpec:
+    """A mid-circuit measurement: where in the op stream, what, and how."""
+    name: str
+    basis: Basis
+    targets: tuple[int, ...]
+    collapse: bool                       # meas collapses; peek does not
+    at_op: int                           # circuit op index it sits before
 
 
 @dataclass
@@ -49,6 +89,8 @@ class LoweredProgram:
     namespace: dict = field(default_factory=dict)
     lines: list[str] = field(default_factory=list)
     resume_line: int = -1                   # first line after the final meas
+    # segmented (mid_measure) mode: every measurement in op-stream order
+    mid_measurements: list[MeasSpec] = field(default_factory=list)
 
     @property
     def n(self) -> int:
@@ -86,7 +128,19 @@ def _as_product_kets(lines, line_num, val) -> list[np.ndarray]:
     return [vecs[:, top].astype(complex)]
 
 
-def lower_program(text: str) -> LoweredProgram:
+def lower_program(text: str, mid_measure: bool = False) -> LoweredProgram:
+    """Lower a .qb program to circuit IR.
+
+    Default mode: lowering stops at the first ``meas``/``peek`` (single
+    final measurement; classical epilogue deferred to execution).
+
+    ``mid_measure=True``: measurements become :class:`MeasSpec` markers in
+    the op stream and lowering continues — for the device ensemble
+    executor, which fans particles out at each collapse.  Classical uses of
+    an outcome are only legal once no quantum ops remain (they start the
+    epilogue); using one earlier raises, since outcome-dependent classical
+    control flow needs the dense interpreter.
+    """
     lines = text.splitlines()
     ns: dict = {"state": None, "__marks": {}, "__prev_jump": -1}
     record_marks(ns, lines)
@@ -94,6 +148,7 @@ def lower_program(text: str) -> LoweredProgram:
     circuit: Optional[Circuit] = None
     initial_kets: list[np.ndarray] = []
     measured: Optional[tuple] = None
+    mid_specs: list[MeasSpec] = []
     resume_line = -1
     n = 0
 
@@ -184,6 +239,12 @@ def lower_program(text: str) -> LoweredProgram:
                 if isinstance(targets, ProbVal):
                     raise _unsupported(lines, line_num, "ProbVal targets")
                 targets = sorted(set(targets))
+            if mid_measure:
+                mid_specs.append(MeasSpec(tokens[1], basis, tuple(targets),
+                                          op_name == "meas",
+                                          len(circuit.ops)))
+                ns[tokens[1]] = PendingOutcome(tokens[1])
+                continue
             measured = (basis, targets, tokens[1])
             # lowering stops here: the classical epilogue runs AFTER device
             # execution, with the measurement result bound (finish_lowered)
@@ -195,7 +256,25 @@ def lower_program(text: str) -> LoweredProgram:
 
         # classical ops run normally (control flow unrolls)
         op, _, _ = ops.OPERATIONS[op_name]
-        result = op(ns, lines, line_num, tokens)
+        try:
+            result = op(ns, lines, line_num, tokens)
+        except (_PendingOutcomeUse, err.QbotScriptError) as e:
+            pending = (e if isinstance(e, _PendingOutcomeUse)
+                       else getattr(e, "__cause__", None))
+            if not isinstance(pending, _PendingOutcomeUse):
+                raise
+            # a classical op touched a measurement outcome: legal only if
+            # the rest of the program is classical — it becomes the
+            # epilogue, executed after device measurement results bind
+            for ln in range(line_num, len(lines)):
+                from qbot_tpu.frontend.interpreter import peek_opcode
+                if peek_opcode(lines[ln]) in _EPILOGUE_FORBIDDEN:
+                    raise _unsupported(
+                        lines, line_num,
+                        "classical use of a measurement outcome before "
+                        "later quantum operations") from None
+            resume_line = line_num
+            break
         if result is None:
             continue
         if result.halt:
@@ -206,7 +285,8 @@ def lower_program(text: str) -> LoweredProgram:
     if circuit is None:
         circuit = Circuit(0)
     lp = LoweredProgram(circuit, initial_kets, namespace=ns, lines=lines,
-                        resume_line=resume_line)
+                        resume_line=resume_line,
+                        mid_measurements=mid_specs)
     if measured is not None:
         lp.measure_basis, lp.measure_targets = measured[0], measured[1]
         lp.measure_name = measured[2]
@@ -214,6 +294,118 @@ def lower_program(text: str) -> LoweredProgram:
 
 
 _EPILOGUE_FORBIDDEN = ("qset", "gate", "swap", "meas", "peek", "disc")
+
+
+def _make_result(basis: Basis, targets, probs):
+    """MeasurementResult from an outcome distribution (interpreter-format)."""
+    from qbot_tpu.ops.measurement import MeasurementResult, _digits_big_endian
+
+    m = len(targets) // basis.numQubits
+    symbols = ["".join(basis.ketSymbols[d]
+                       for d in _digits_big_endian(i, len(basis), m))
+               for i in range(len(probs))]
+    return MeasurementResult(None, [float(p) for p in probs], None, symbols)
+
+
+def _run_epilogue(lp: LoweredProgram) -> None:
+    """Validate and drive the classical lines after the quantum program."""
+    from qbot_tpu.frontend.interpreter import peek_opcode, run_lines
+
+    if lp.resume_line < 0 or not lp.has_epilogue:
+        return
+    for ln in range(lp.resume_line, len(lp.lines)):
+        if peek_opcode(lp.lines[ln]) in _EPILOGUE_FORBIDDEN:
+            raise _unsupported(lp.lines, ln,
+                               "quantum operations after the final "
+                               "measurement")
+    run_lines(lp.namespace, lp.lines, start_line=lp.resume_line)
+
+
+def _basis_rotation_plans(basis: Basis, targets, n: int, window: int):
+    """(rotate-into-basis plan, inverse plan) or (None, None) for the
+    computation basis; rotation is B† per contiguous target block."""
+    is_comp = basis.numQubits == 1 and all(
+        np.allclose(kt, e) for kt, e in zip(basis.kets,
+                                            np.eye(2, dtype=complex)))
+    if is_comp:
+        return None, None
+    from qbot_tpu.tpu.compiler import compile_circuit
+
+    rot = np.stack(basis.kets).conj()
+    bq = basis.numQubits
+    fwd, inv = Circuit(n), Circuit(n)
+    for i in range(0, len(targets), bq):
+        block = targets[i:i + bq]
+        if list(block) != list(range(block[0], block[0] + bq)):
+            raise ValueError(
+                "multi-qubit basis measurement requires contiguous target "
+                "blocks in the lowered path")
+        fwd.gate(rot, block)
+        inv.gate(rot.conj().T, block)
+    return (compile_circuit(fwd, window=window),
+            compile_circuit(inv, window=window))
+
+
+def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
+                         window: int = 7):
+    """Execute a mid-measurement program on the device ensemble engine.
+
+    Requires ``lower_program(text, mid_measure=True)``.  Each ``meas`` fans
+    the particle ensemble over its outcomes (exact ProbVal semantics, capped
+    at ``max_particles`` branches); ``peek`` reads the marginal without
+    collapse.  Binds every MeasurementResult, runs the classical epilogue,
+    and returns (results dict, final QuantumEnsemble).
+    """
+    import jax.numpy as jnp
+
+    from qbot_tpu.inference.ensemble_exec import (
+        apply_plan_ensemble,
+        init_ensemble,
+        measure_fanout,
+        peek_probs,
+    )
+    from qbot_tpu.tpu.compiler import compile_circuit
+    from qbot_tpu.tpu.planar import to_planar
+
+    psi0 = np.array([1.0 + 0j])
+    for ket in lp.initial_kets:
+        psi0 = np.kron(psi0, ket)
+    psi0 = psi0 / np.linalg.norm(psi0)
+    ens = init_ensemble(jnp.asarray(to_planar(psi0)))
+
+    all_ops = list(lp.circuit.ops)
+    n = lp.n
+    prev = 0
+    results: dict[str, object] = {}
+
+    def run_segment(ens, ops):
+        if not ops:
+            return ens
+        seg = Circuit(n)
+        seg.ops = list(ops)
+        seg.num_params = lp.circuit.num_params
+        return apply_plan_ensemble(ens, compile_circuit(seg, window=window))
+
+    for spec in lp.mid_measurements:
+        ens = run_segment(ens, all_ops[prev:spec.at_op])
+        prev = spec.at_op
+        targets = sorted(spec.targets)
+        rot, inv = _basis_rotation_plans(spec.basis, list(targets), n, window)
+        if spec.collapse:
+            ens_m = apply_plan_ensemble(ens, rot) if rot else ens
+            ens_m, dist = measure_fanout(ens_m, n, targets, max_particles)
+            ens = apply_plan_ensemble(ens_m, inv) if inv else ens_m
+        else:
+            ens_m = apply_plan_ensemble(ens, rot) if rot else ens
+            dist = peek_probs(ens_m, n, targets)
+        results[spec.name] = _make_result(spec.basis, targets,
+                                          np.asarray(dist))
+
+    ens = run_segment(ens, all_ops[prev:])
+    for name, res in results.items():
+        lp.namespace[name] = res
+    _run_epilogue(lp)
+    return results, ens
 
 
 def finish_lowered(lp: LoweredProgram, probs) -> Optional[object]:

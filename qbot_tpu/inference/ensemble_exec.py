@@ -1,0 +1,134 @@
+"""Device-side exact ensemble executor: mid-circuit measurement at scale.
+
+The dense interpreter handles mid-circuit ``meas`` by collapsing the host
+density matrix (reference semantics); this module is the TPU-native
+equivalent for large registers: the register is a batch of weighted PURE
+planar states (particles), and a measurement fans every particle out over
+its outcomes —
+
+    ψ_b → { P_k ψ_b / √p_bk  with weight  w_b · p_bk }  for each outcome k
+
+— the exact ProbVal cartesian product, executed as one vmapped masked
+projection (static shapes; no sampling).  The particle mixture
+Σ w |ψ⟩⟨ψ| equals the interpreter's collapsed density at every step, while
+memory stays B·2^n instead of 4^n.  The particle count is capped like
+ProbVal's pruning: after each fan-out the top-``max_particles`` branches by
+weight are kept and the weights renormalised (reference drops p < 1e-5,
+probVal.py:7).
+
+Used by :func:`qbot_tpu.frontend.lowering.run_lowered_ensemble` to execute
+.qb programs with mid-circuit measurements on the device engine; also a
+library API for circuit-level use.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from qbot_tpu.tpu.compiler import Plan
+
+__all__ = ["QuantumEnsemble", "init_ensemble", "apply_plan_ensemble",
+           "measure_fanout", "peek_probs", "ensemble_mixture",
+           "MAX_PARTICLES"]
+
+MAX_PARTICLES = 256
+_MIN_P = 1e-12
+
+
+class QuantumEnsemble(NamedTuple):
+    """Weighted batch of planar pure states; exact branch semantics."""
+    log_w: jax.Array                 # (B,)
+    psi: jax.Array                   # (B, 2, 2^n) planar float32
+
+    @property
+    def num_particles(self) -> int:
+        return self.log_w.shape[0]
+
+    def weights(self) -> jax.Array:
+        w = jnp.exp(self.log_w)
+        return w / jnp.sum(w)
+
+
+def init_ensemble(psi0: jax.Array) -> QuantumEnsemble:
+    """Single-particle ensemble from a planar (2, 2^n) state."""
+    return QuantumEnsemble(jnp.zeros((1,)), psi0[None])
+
+
+def apply_plan_ensemble(ens: QuantumEnsemble, plan: Plan,
+                        params=None) -> QuantumEnsemble:
+    from qbot_tpu.tpu.planar import apply_plan_planar
+
+    psi = jax.vmap(lambda p: apply_plan_planar(p, plan, params))(ens.psi)
+    return QuantumEnsemble(ens.log_w, psi)
+
+
+def _outcome_split(psi, n: int, targets: Sequence[int]):
+    """(2, 2^n) → per-outcome probs (K,) and collapsed states (K, 2, 2^n).
+
+    Computation-basis outcomes of ``targets`` (sorted); collapsed states
+    are renormalised projections P_k ψ / √p_k.
+    """
+    targets = sorted(targets)
+    t = len(targets)
+    K = 2**t
+    pt = psi.reshape((2,) + (2,) * n)
+    pt = jnp.moveaxis(pt, [1 + q for q in targets], list(range(1, 1 + t)))
+    pt = pt.reshape(2, K, -1)                     # (2, K, rest)
+    p = jnp.sum(pt**2, axis=(0, 2))               # (K,)
+    eye = jnp.eye(K, dtype=psi.dtype)
+    proj = jnp.einsum("kj,cjr->kcjr", eye, pt)    # (K, 2, K, rest)
+    norm = jnp.sqrt(jnp.clip(p, _MIN_P))[:, None, None, None]
+    proj = proj / norm
+    proj = proj.reshape((K, 2) + (2,) * n)
+    proj = jnp.moveaxis(proj, list(range(2, 2 + t)),
+                        [2 + q for q in targets])
+    return p, proj.reshape(K, 2, -1)
+
+
+def peek_probs(ens: QuantumEnsemble, n: int, targets: Sequence[int]
+               ) -> jax.Array:
+    """Ensemble-marginal outcome distribution, no state change."""
+    from qbot_tpu.tpu.planar import planar_probs
+
+    per = jax.vmap(lambda p: planar_probs(p, sorted(targets), n))(ens.psi)
+    return ens.weights() @ per
+
+
+def measure_fanout(ens: QuantumEnsemble, n: int, targets: Sequence[int],
+                   max_particles: int = MAX_PARTICLES
+                   ) -> tuple[QuantumEnsemble, jax.Array]:
+    """Measure + collapse: fan each particle over the 2^t outcomes, prune
+    to the ``max_particles`` heaviest branches, renormalise.
+
+    Returns (new ensemble, outcome distribution (K,) before pruning).
+    """
+    B = ens.num_particles
+    K = 2 ** len(targets)
+
+    p_all, states = jax.vmap(
+        lambda s: _outcome_split(s, n, targets))(ens.psi)  # (B,K), (B,K,2,·)
+    dist = ens.weights() @ p_all
+
+    log_w = (ens.log_w[:, None]
+             + jnp.log(jnp.clip(p_all, _MIN_P))).reshape(B * K)
+    psi = states.reshape((B * K, 2) + states.shape[3:])
+
+    keep = min(max_particles, B * K)
+    if keep < B * K:
+        top_w, idx = jax.lax.top_k(log_w, keep)
+        psi = psi[idx]
+        log_w = top_w
+    log_w = log_w - jax.scipy.special.logsumexp(log_w)
+    return QuantumEnsemble(log_w, psi), dist
+
+
+def ensemble_mixture(ens: QuantumEnsemble) -> np.ndarray:
+    """Σ w |ψ⟩⟨ψ| as a complex density matrix (host-side; conformance)."""
+    w = np.asarray(ens.weights())
+    psi = np.asarray(ens.psi)
+    kets = psi[:, 0] + 1j * psi[:, 1]
+    return np.einsum("b,bi,bj->ij", w, kets, np.conj(kets))

@@ -1,0 +1,138 @@
+"""Device ensemble executor (mid-circuit measurement via exact particle
+fan-out) vs the dense interpreter."""
+import numpy as np
+import pytest
+
+from qbot_tpu import executeTxt
+from qbot_tpu.frontend.lowering import (
+    LoweringError,
+    lower_program,
+    run_lowered_ensemble,
+)
+from qbot_tpu.inference.ensemble_exec import ensemble_mixture
+
+
+def _run_both(src, **kw):
+    dense = executeTxt(src)
+    lp = lower_program(src, mid_measure=True)
+    results, ens = run_lowered_ensemble(lp, **kw)
+    return dense, results, ens, lp
+
+
+class TestMidMeasurement:
+    def test_bell_then_more_gates(self):
+        src = ("qset tensorProd(comp[0], comp[0])\n"
+               "gate hadamardGate ; 0\n"
+               "gate pauliXGate ; 1 ; [0]\n"
+               "meas a ; computation ; [0]\n"
+               "gate hadamardGate ; 1\n"
+               "meas b ; computation ; [1]")
+        dense, results, ens, _ = _run_both(src)
+        np.testing.assert_allclose(results["a"].probs, dense["a"].probs,
+                                   atol=1e-6)
+        np.testing.assert_allclose(results["b"].probs, dense["b"].probs,
+                                   atol=1e-6)
+        np.testing.assert_allclose(ensemble_mixture(ens), dense["state"],
+                                   atol=1e-5)
+
+    def test_fanout_particle_count(self):
+        src = ("qset tensorProd(comp[0], comp[0], comp[0])\n"
+               "gate hadamardGate ; 0\n"
+               "gate hadamardGate ; 1\n"
+               "meas a ; computation ; [0, 1]\n"
+               "gate hadamardGate ; 2\n"
+               "meas b ; computation ; [2]")
+        _, results, ens, _ = _run_both(src)
+        # 4 outcomes × 2 outcomes = 8 particles
+        assert ens.num_particles == 8
+        np.testing.assert_allclose(results["a"].probs, [0.25] * 4, atol=1e-6)
+
+    def test_peek_does_not_collapse(self):
+        src = ("qset tensorProd(comp[0], comp[0])\n"
+               "gate hadamardGate ; 0\n"
+               "gate pauliXGate ; 1 ; [0]\n"
+               "peek a ; computation ; [0]\n"
+               "meas full ; computation")
+        dense, results, ens, _ = _run_both(src)
+        assert ens.num_particles <= 4
+        np.testing.assert_allclose(results["a"].probs, [0.5, 0.5], atol=1e-6)
+        # bell correlations survive the peek
+        np.testing.assert_allclose(results["full"].probs,
+                                   dense["full"].probs, atol=1e-6)
+
+    def test_bell_basis_mid_measurement(self):
+        src = ("qset tensorProd(comp[0], comp[0], comp[0])\n"
+               "gate hadamardGate ; 0\n"
+               "gate pauliXGate ; 1 ; [0]\n"
+               "meas a ; bell ; [0, 1]\n"
+               "gate hadamardGate ; 2\n"
+               "meas b ; computation ; [2]")
+        dense, results, ens, _ = _run_both(src)
+        np.testing.assert_allclose(results["a"].probs, dense["a"].probs,
+                                   atol=1e-5)
+        np.testing.assert_allclose(ensemble_mixture(ens), dense["state"],
+                                   atol=1e-5)
+
+    def test_hadamard_basis_collapse_state(self):
+        src = ("qset tensorProd(comp[0], comp[0])\n"
+               "gate xRotGate(0.7) ; 0\n"
+               "meas a ; hadamard ; [0]\n"
+               "gate hadamardGate ; 1")
+        dense, results, ens, _ = _run_both(src)
+        np.testing.assert_allclose(results["a"].probs, dense["a"].probs,
+                                   atol=1e-5)
+        np.testing.assert_allclose(ensemble_mixture(ens), dense["state"],
+                                   atol=1e-5)
+
+    def test_pruning_cap(self):
+        # 3 two-qubit measurements in the hadamard frame: 4^3 = 64 branches,
+        # capped at 16 heaviest; distribution error bounded by dropped mass
+        lines = ["qset tensorExp(comp[0], 4)"]
+        for q in range(4):
+            lines.append(f"gate hadamardGate ; {q}")
+        lines.append("meas a ; computation ; [0, 1]")
+        lines.append("gate hadamardGate ; 0")
+        lines.append("meas b ; computation ; [2, 3]")
+        lines.append("gate hadamardGate ; 2")
+        lines.append("meas c ; computation ; [0, 2]")
+        src = "\n".join(lines)
+        dense = executeTxt(src)
+        lp = lower_program(src, mid_measure=True)
+        results, ens = run_lowered_ensemble(lp, max_particles=16)
+        assert ens.num_particles == 16
+        np.testing.assert_allclose(results["a"].probs, dense["a"].probs,
+                                   atol=1e-6)
+        np.testing.assert_allclose(results["b"].probs, dense["b"].probs,
+                                   atol=1e-6)
+
+
+class TestEpilogueAndErrors:
+    def test_epilogue_uses_outcomes(self, capsys):
+        src = ("qset tensorProd(comp[0], comp[0])\n"
+               "gate hadamardGate ; 0\n"
+               "meas a ; computation ; [0]\n"
+               "gate hadamardGate ; 1\n"
+               "meas b ; computation ; [1]\n"
+               "cout a\n"
+               "pydo sink.append(b.probs[0])")
+        lp = lower_program(src, mid_measure=True)
+        lp.namespace["sink"] = []
+        results, _ = run_lowered_ensemble(lp)
+        assert "|0〉- 0.5" in capsys.readouterr().out
+        assert abs(lp.namespace["sink"][0] - 0.5) < 1e-6
+
+    def test_outcome_use_before_later_quantum_rejected(self):
+        src = ("qset tensorProd(comp[0], comp[0])\n"
+               "gate hadamardGate ; 0\n"
+               "meas a ; computation ; [0]\n"
+               "cout a\n"
+               "gate hadamardGate ; 1")
+        with pytest.raises(LoweringError):
+            lower_program(src, mid_measure=True)
+
+    def test_default_mode_unchanged(self):
+        # without mid_measure, lowering still breaks at the first meas
+        src = ("qset comp[0]\nmeas a ; computation\ncout a")
+        lp = lower_program(src)
+        assert lp.measure_name == "a"
+        assert not lp.mid_measurements
