@@ -32,8 +32,8 @@ import jax.numpy as jnp
 from qbot_tpu.tpu.compiler import Plan
 
 __all__ = ["QuantumEnsemble", "init_ensemble", "apply_plan_ensemble",
-           "measure_fanout", "peek_probs", "ensemble_mixture",
-           "MAX_PARTICLES"]
+           "measure_fanout", "measure_sample", "peek_probs",
+           "ensemble_mixture", "MAX_PARTICLES"]
 
 MAX_PARTICLES = 256
 _MIN_P = 1e-12
@@ -124,6 +124,56 @@ def measure_fanout(ens: QuantumEnsemble, n: int, targets: Sequence[int],
         log_w = top_w
     log_w = log_w - jax.scipy.special.logsumexp(log_w)
     return QuantumEnsemble(log_w, psi), dist
+
+
+def measure_sample(key: jax.Array, ens: QuantumEnsemble, n: int,
+                   targets: Sequence[int], ess_threshold: float = 0.5
+                   ) -> tuple[QuantumEnsemble, jax.Array, jax.Array]:
+    """SMC-mode measurement: SAMPLE one outcome per particle instead of
+    fanning out — the particle count stays constant, so arbitrarily deep
+    measurement sequences run at fixed memory (the scalable regime the
+    exact fan-out's exponential branch growth cannot reach).
+
+    Outcomes are drawn from each particle's own Born distribution, which is
+    exactly the optimal SMC proposal: incremental importance weights are
+    constant, so weights stay untouched and degeneracy only enters through
+    earlier weight structure — systematic resampling triggers when
+    ESS < threshold·B.
+
+    Returns (new ensemble, marginal outcome distribution (K,) before
+    sampling, sampled outcomes (B,)).
+    """
+    from qbot_tpu.inference.smc import (
+        Ensemble as WEnsemble,
+        effective_sample_size,
+        systematic_resample,
+    )
+
+    B = ens.num_particles
+    p_all, states = jax.vmap(
+        lambda s: _outcome_split(s, n, targets))(ens.psi)  # (B,K), (B,K,2,·)
+    dist = ens.weights() @ p_all
+
+    key_o, key_r = jax.random.split(key)
+    outcomes = jax.random.categorical(
+        key_o, jnp.log(jnp.clip(p_all, _MIN_P)), axis=-1)     # (B,)
+    psi = jnp.take_along_axis(
+        states, outcomes[:, None, None, None], axis=1)[:, 0]
+    new = QuantumEnsemble(ens.log_w, psi)
+
+    ess = effective_sample_size(new.log_w)
+
+    def do_resample(_):
+        w = WEnsemble(new.log_w, (new.psi, outcomes))
+        r = systematic_resample(key_r, w)
+        return r.log_weights, r.values[0], r.values[1]
+
+    def skip(_):
+        return new.log_w, new.psi, outcomes
+
+    log_w, psi, outcomes = jax.lax.cond(
+        ess < ess_threshold * B, do_resample, skip, None)
+    return QuantumEnsemble(log_w, psi), dist, outcomes
 
 
 def ensemble_mixture(ens: QuantumEnsemble) -> np.ndarray:

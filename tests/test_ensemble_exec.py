@@ -136,3 +136,67 @@ class TestEpilogueAndErrors:
         lp = lower_program(src)
         assert lp.measure_name == "a"
         assert not lp.mid_measurements
+
+
+class TestSamplingMode:
+    def test_sampled_outcomes_distribution(self):
+        """SMC-mode measurement: empirical outcome frequencies over many
+        particles match the Born distribution."""
+        import jax
+        import jax.numpy as jnp
+
+        from qbot_tpu.inference.ensemble_exec import (
+            QuantumEnsemble,
+            apply_plan_ensemble,
+            measure_sample,
+        )
+        from qbot_tpu.tpu.circuit import Circuit
+        from qbot_tpu.tpu.compiler import compile_circuit
+        from qbot_tpu.tpu.planar import zero_state_planar
+
+        n, B = 3, 512
+        psi0 = zero_state_planar(n)
+        ens = QuantumEnsemble(jnp.zeros(B),
+                              jnp.broadcast_to(psi0, (B,) + psi0.shape))
+        c = Circuit(n)
+        c.ry(0, 1.0)        # P(1) = sin^2(0.5) ~ 0.2298
+        ens = apply_plan_ensemble(ens, compile_circuit(c))
+        ens, dist, outcomes = measure_sample(jax.random.PRNGKey(0), ens, n,
+                                             [0])
+        p1 = float(np.sin(0.5) ** 2)
+        np.testing.assert_allclose(np.asarray(dist), [1 - p1, p1], atol=1e-5)
+        freq = float(np.mean(np.asarray(outcomes)))
+        assert abs(freq - p1) < 0.07
+        # collapsed particles are exact basis states on the target qubit
+        assert ens.num_particles == B
+
+    def test_deep_measurement_sequence_fixed_memory(self):
+        """20 sequential measurements at constant particle count (the exact
+        fan-out would need 2^20 branches)."""
+        import jax
+        import jax.numpy as jnp
+
+        from qbot_tpu.inference.ensemble_exec import (
+            QuantumEnsemble,
+            apply_plan_ensemble,
+            measure_sample,
+        )
+        from qbot_tpu.tpu.circuit import Circuit
+        from qbot_tpu.tpu.compiler import compile_circuit
+        from qbot_tpu.tpu.planar import zero_state_planar
+
+        n, B = 2, 64
+        psi0 = zero_state_planar(n)
+        ens = QuantumEnsemble(jnp.zeros(B),
+                              jnp.broadcast_to(psi0, (B,) + psi0.shape))
+        h = Circuit(n).h(0)
+        plan = compile_circuit(h)
+        key = jax.random.PRNGKey(1)
+        for i in range(20):
+            key, k = jax.random.split(key)
+            ens = apply_plan_ensemble(ens, plan)
+            ens, dist, _ = measure_sample(k, ens, n, [0])
+            assert ens.num_particles == B
+            np.testing.assert_allclose(np.asarray(dist), [0.5, 0.5],
+                                       atol=1e-4)
+        assert np.all(np.isfinite(np.asarray(ens.psi)))
