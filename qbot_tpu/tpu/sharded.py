@@ -42,7 +42,8 @@ except ImportError:                      # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map as _shard_map
 
 __all__ = ["ShardedPlan", "compile_sharded", "make_sharded_planar_runner",
-           "sharded_zero_state", "sharded_probs_fn", "unpermute_planar"]
+           "sharded_zero_state", "sharded_probs_fn", "unpermute_planar",
+           "ShardedReflect"]
 
 
 @dataclass(frozen=True)
@@ -67,6 +68,103 @@ class ShardedFlip:
 
 
 @dataclass(frozen=True)
+class ShardedReflect:
+    """Householder reflection about a product state, sharded.
+
+    ``ψ → ψ − 2⟨v|ψ⟩v`` with ``v = ⊗ single-qubit factors``: the sharded
+    axes contribute only a per-device scalar ``s_d = Π v_p[bit_p(d)]``, so
+    the whole two-layer+flip sandwich costs ONE psum of a complex scalar —
+    a sharded Grover iteration needs zero all_to_alls.
+
+    ``shard_factors``: one complex 2-vector per sharded physical position;
+    ``local_factors``: one per local physical axis, in order.
+    """
+    shard_factors: tuple[np.ndarray, ...]
+    local_factors: tuple[np.ndarray, ...]
+
+
+@dataclass(frozen=True)
+class _OpReflect:
+    """Op-stream marker produced by reflection detection (internal)."""
+    factors: tuple[np.ndarray, ...]      # per LOGICAL qubit, in order
+    kind: str = "reflect"
+    controls: tuple = ()
+    targets: tuple = ()
+
+
+def _detect_op_reflections(ops, n: int):
+    """Replace ``1q-layer · flip(idx) · inverse-1q-layer`` patterns in an op
+    stream with :class:`_OpReflect` markers (circuit-level analogue of the
+    step-level detection in compile_circuit, done here BEFORE reshard
+    scheduling so the layers never touch sharded axes at all).
+
+    Conservative: only uncontrolled static single-qubit layers match.
+    """
+    out: list = []
+    i = 0
+    while i < len(ops):
+        op = ops[i]
+        if op.kind != "flip":
+            out.append(op)
+            i += 1
+            continue
+        # layer A: maximal trailing run of distinct-target 1q static gates
+        a_map: dict[int, object] = {}
+        j = len(out) - 1
+        while j >= 0:
+            o = out[j]
+            if (getattr(o, "kind", None) == "gate" and o.matrix is not None
+                    and not o.controls and len(o.targets) == 1
+                    and o.targets[0] not in a_map):
+                a_map[o.targets[0]] = o
+                j -= 1
+            else:
+                break
+        if not a_map:
+            out.append(op)
+            i += 1
+            continue
+        # layer B: forward run matching A's supports with inverse matrices
+        b_seen: set[int] = set()
+        kk = i + 1
+        ok = True
+        while kk < len(ops) and len(b_seen) < len(a_map):
+            o = ops[kk]
+            if (o.kind == "gate" and o.matrix is not None and not o.controls
+                    and len(o.targets) == 1 and o.targets[0] in a_map
+                    and o.targets[0] not in b_seen):
+                ma = np.asarray(a_map[o.targets[0]].matrix)
+                if not np.allclose(np.asarray(o.matrix), ma.conj().T,
+                                   atol=1e-9):
+                    ok = False
+                    break
+                b_seen.add(o.targets[0])
+                kk += 1
+            else:
+                ok = False
+                break
+        if not (ok and len(b_seen) == len(a_map)):
+            out.append(op)
+            i += 1
+            continue
+        idx = op.index
+        factors = []
+        for q in range(n):
+            bit = (idx >> (n - 1 - q)) & 1
+            if q in a_map:
+                A = np.asarray(a_map[q].matrix, complex)
+                factors.append(np.conj(A[bit, :]))
+            else:
+                e = np.zeros(2, complex)
+                e[bit] = 1.0
+                factors.append(e)
+        del out[j + 1:]                  # consume layer A
+        out.append(_OpReflect(tuple(factors)))
+        i = kk                           # consume flip + layer B
+    return out
+
+
+@dataclass(frozen=True)
 class ShardedDiag:
     """Diagonal unitary whose support touches sharded axes.
 
@@ -80,7 +178,8 @@ class ShardedDiag:
     diag: np.ndarray
 
 
-Item = Union[LocalSegment, Reshard, ShardedFlip, ShardedDiag]
+Item = Union[LocalSegment, Reshard, ShardedFlip, ShardedDiag,
+             ShardedReflect]
 
 
 @dataclass
@@ -112,6 +211,8 @@ class ShardedPlan:
                      if isinstance(i, LocalSegment))
         passes += sum(isinstance(i, (Reshard, ShardedDiag))
                       for i in self.items)
+        passes += 2 * sum(isinstance(i, ShardedReflect)
+                          for i in self.items)
         return 2 * state * passes
 
 
@@ -193,12 +294,23 @@ def compile_sharded(circ: Circuit, k: int, window: int = 7) -> ShardedPlan:
     from qbot_tpu.tpu.compiler import gate_as_diag
 
     ops = []
-    for op in circ.ops:
+    for op in _detect_op_reflections(list(circ.ops), n):
+        if isinstance(op, _OpReflect):
+            ops.append(op)
+            continue
         dop = gate_as_diag(op)
         ops.append(dop if dop is not None else op)
     emitted = [False] * len(ops)
     for i, op in enumerate(ops):
         if emitted[i]:
+            continue
+        if isinstance(op, _OpReflect):
+            # map logical factors to physical axes under the current perm
+            flush()
+            phys = [op.factors[perm[p]] for p in range(n)]
+            splan.items.append(ShardedReflect(tuple(phys[:k]),
+                                              tuple(phys[k:])))
+            emitted[i] = True
             continue
         if op.kind == "flip":
             flush()
@@ -223,7 +335,7 @@ def compile_sharded(circ: Circuit, k: int, window: int = 7) -> ShardedPlan:
                 if emitted[j]:
                     continue
                 oj = ops[j]
-                if oj.kind == "flip":    # diagonal on ALL qubits: hard wall
+                if oj.kind in ("flip", "reflect"):   # all-qubit: hard wall
                     break
                 sj = set(_support(oj))
                 if sj & barrier:
@@ -320,11 +432,60 @@ def make_sharded_planar_runner(splan: ShardedPlan, mesh: Mesh,
         out_i = dr * pi + di * pr
         return jnp.stack([out_r, out_i]).reshape(psi.shape)
 
+    def apply_sharded_reflect(psi, item: ShardedReflect):
+        """ψ → ψ − 2⟨v|ψ⟩v with product v: local contractions + ONE scalar
+        psum.  Sharded axes enter only through the per-device coefficient
+        s_d = Π v_p[bit_p(d)]; v on device d is s_d · (⊗ local factors)."""
+        dev = jax.lax.axis_index(axis_name)
+        # s_d (complex, planar scalars)
+        sr = jnp.asarray(1.0, psi.dtype)
+        si = jnp.asarray(0.0, psi.dtype)
+        for p, f in enumerate(item.shard_factors):
+            bit = (dev >> (k - 1 - p)) & 1
+            fr = jnp.asarray(np.real(f), psi.dtype)[bit]
+            fi = jnp.asarray(np.imag(f), psi.dtype)[bit]
+            sr, si = sr * fr - si * fi, sr * fi + si * fr
+
+        # local ⟨v_local|ψ_local⟩ via the stacked planar einsum chain
+        t = psi
+        for f in item.local_factors:
+            fr = jnp.asarray(np.real(f), psi.dtype)
+            fi = jnp.asarray(np.imag(f), psi.dtype)
+            W = jnp.stack([jnp.stack([fr, fi]), jnp.stack([-fi, fr])])
+            t = jnp.einsum("acx,cxr->ar", W, t.reshape(2, 2, -1),
+                           precision=jax.lax.Precision.HIGHEST)
+        cr, ci = t[0, 0], t[1, 0]
+        # global c = psum(conj(s_d) · c_d)
+        gr = jax.lax.psum(sr * cr + si * ci, axis_name)
+        gi = jax.lax.psum(sr * ci - si * cr, axis_name)
+
+        # V_local broadcast product
+        nl = len(item.local_factors)
+        vr = jnp.asarray(1.0, psi.dtype)
+        vi = jnp.asarray(0.0, psi.dtype)
+        for ax, f in enumerate(item.local_factors):
+            shape = [1] * nl
+            shape[ax] = 2
+            br = jnp.asarray(np.real(f), psi.dtype).reshape(shape)
+            bi = jnp.asarray(np.imag(f), psi.dtype).reshape(shape)
+            vr, vi = vr * br - vi * bi, vr * bi + vi * br
+        # coefficient 2·c·s_d applied to V_local
+        ar = 2.0 * (gr * sr - gi * si)
+        ai = 2.0 * (gr * si + gi * sr)
+        tshape = (2,) * nl
+        pr = psi[0].reshape(tshape)
+        pi = psi[1].reshape(tshape)
+        out_r = pr - (ar * vr - ai * vi)
+        out_i = pi - (ar * vi + ai * vr)
+        return jnp.stack([out_r.reshape(-1), out_i.reshape(-1)])
+
     def body(psi, params):
         # psi: local planar (2, 2^(n-k))
         for item in splan.items:
             if isinstance(item, LocalSegment):
                 psi = apply_plan_planar(psi, item.plan, params)
+            elif isinstance(item, ShardedReflect):
+                psi = apply_sharded_reflect(psi, item)
             elif isinstance(item, ShardedFlip):
                 here = jax.lax.axis_index(axis_name) == item.owner
                 sign = jnp.where(here, -1.0, 1.0).astype(psi.dtype)

@@ -272,3 +272,54 @@ class TestTrafficAccounting:
         assert splan.num_reshards == 1
         assert splan.comm_bytes() == 2 * 256 * 4 * 7 // 8
         assert splan.hbm_bytes() > 0
+
+
+class TestShardedReflect:
+    def test_grover_body_zero_reshards(self):
+        from qbot_tpu.tpu.sharded import ShardedReflect
+
+        n, k = 8, 3
+        c = grover_circuit(n, marked=37, iterations=12)
+        splan = compile_sharded(c, k)
+        # the init H-layer needs one reshard; every diffusion sandwich
+        # becomes a ShardedReflect, so the 12-iteration body needs NONE
+        assert sum(isinstance(i, ShardedReflect) for i in splan.items) == 12
+        assert splan.num_reshards <= 1
+        want = _unsharded(c, n)
+        got, _, _ = _sharded(c, n, k)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+        p = got[0] ** 2 + got[1] ** 2
+        assert p[37] > 0.97
+
+    def test_reflect_with_nonzero_flip_and_rotations(self):
+        from qbot_tpu.tpu.circuit import Circuit
+
+        n, k = 8, 2
+        c = Circuit(n)
+        for q in range(n):
+            c.ry(q, 0.3 + 0.1 * q)
+        c.phase_flip(173)
+        for q in range(n):
+            c.ry(q, -(0.3 + 0.1 * q))    # Ry(-t) = Ry(t)^{-1}
+        want = _unsharded(c, n)
+        got, splan, _ = _sharded(c, n, k)
+        from qbot_tpu.tpu.sharded import ShardedReflect
+        assert any(isinstance(i, ShardedReflect) for i in splan.items)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_non_inverse_layers_still_reshard(self):
+        from qbot_tpu.tpu.circuit import Circuit
+        from qbot_tpu.tpu.sharded import ShardedReflect
+
+        n, k = 8, 2
+        c = Circuit(n)
+        for q in range(n):
+            c.h(q)
+        c.phase_flip(5)
+        for q in range(n):
+            c.x(q)                       # X != H^{-1}: no reflection
+        splan = compile_sharded(c, k)
+        assert not any(isinstance(i, ShardedReflect) for i in splan.items)
+        want = _unsharded(c, n)
+        got, _, _ = _sharded(c, n, k)
+        np.testing.assert_allclose(got, want, atol=1e-4)
