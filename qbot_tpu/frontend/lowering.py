@@ -347,7 +347,7 @@ def _basis_rotation_plans(basis: Basis, targets, n: int, window: int):
 
 
 def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
-                         window: int = 7):
+                         window: int = 7, collapse_mode: str = "reference"):
     """Execute a mid-measurement program on the device ensemble engine.
 
     Requires ``lower_program(text, mid_measure=True)``.  Each ``meas`` fans
@@ -393,7 +393,8 @@ def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
         rot, inv = _basis_rotation_plans(spec.basis, list(targets), n, window)
         if spec.collapse:
             ens_m = apply_plan_ensemble(ens, rot) if rot else ens
-            ens_m, dist = measure_fanout(ens_m, n, targets, max_particles)
+            ens_m, dist = measure_fanout(ens_m, n, targets, max_particles,
+                                         mode=collapse_mode)
             ens = apply_plan_ensemble(ens_m, inv) if inv else ens_m
         else:
             ens_m = apply_plan_ensemble(ens, rot) if rot else ens

@@ -98,11 +98,39 @@ def peek_probs(ens: QuantumEnsemble, n: int, targets: Sequence[int]
     return ens.weights() @ per
 
 
+def _replace_block(state, n: int, targets: Sequence[int], k: int):
+    """|k⟩_A ⊗ (B-part of ``state``): zero all target-blocks except the
+    B-slice of the state's own block, relocated to block ``k``."""
+    targets = sorted(targets)
+    t = len(targets)
+    K = 2**t
+    pt = state.reshape((2,) + (2,) * n)
+    pt = jnp.moveaxis(pt, [1 + q for q in targets], list(range(1, 1 + t)))
+    pt = pt.reshape(2, K, -1)
+    phi = jnp.sum(pt, axis=1)            # collapsed states have ONE nonzero
+    out = jnp.zeros_like(pt).at[:, k, :].set(phi)
+    out = out.reshape((2, K) + (2,) * (n - t))
+    out = out.reshape((2,) + (2,) * n)
+    out = jnp.moveaxis(out, list(range(1, 1 + t)), [1 + q for q in targets])
+    return out.reshape(state.shape)
+
+
 def measure_fanout(ens: QuantumEnsemble, n: int, targets: Sequence[int],
-                   max_particles: int = MAX_PARTICLES
+                   max_particles: int = MAX_PARTICLES,
+                   mode: str = "reference"
                    ) -> tuple[QuantumEnsemble, jax.Array]:
-    """Measure + collapse: fan each particle over the 2^t outcomes, prune
-    to the ``max_particles`` heaviest branches, renormalise.
+    """Measure + collapse: fan particles over outcomes, prune to the
+    ``max_particles`` heaviest branches, renormalise.
+
+    ``mode="projective"``: textbook update ρ → Σ_k P_k ρ P_k — each
+    particle fans K ways into |k⟩_A ⊗ φ_k with weight w·p_k, preserving
+    classical outcome↔rest correlations.
+
+    ``mode="reference"`` (default): the reference interpreter's semantics
+    (measurement.py:154-163): the measured subsystem is REPLACED by the
+    outcome mixture and decoupled from the rest, ρ → Tr_A(ρ) ⊗ Σ p_k P_k.
+    As pure states that is the K² fan-out |k⟩_A ⊗ φ_j with weight
+    w·p_j·p_k (the j=k diagonal is the projective case).
 
     Returns (new ensemble, outcome distribution (K,) before pruning).
     """
@@ -112,13 +140,26 @@ def measure_fanout(ens: QuantumEnsemble, n: int, targets: Sequence[int],
     p_all, states = jax.vmap(
         lambda s: _outcome_split(s, n, targets))(ens.psi)  # (B,K), (B,K,2,·)
     dist = ens.weights() @ p_all
+    logp = jnp.log(jnp.clip(p_all, _MIN_P))
 
-    log_w = (ens.log_w[:, None]
-             + jnp.log(jnp.clip(p_all, _MIN_P))).reshape(B * K)
-    psi = states.reshape((B * K, 2) + states.shape[3:])
+    if mode == "projective":
+        log_w = (ens.log_w[:, None] + logp).reshape(B * K)
+        psi = states.reshape((B * K, 2) + states.shape[3:])
+    elif mode == "reference":
+        # relocate branch j's B-part into every outcome block k
+        relocated = jax.vmap(jax.vmap(
+            lambda s: jax.vmap(
+                lambda k: _replace_block(s, n, targets, k)
+            )(jnp.arange(K))))(states)            # (B, K_j, K_k, 2, ·)
+        log_w = (ens.log_w[:, None, None] + logp[:, :, None]
+                 + logp[:, None, :]).reshape(B * K * K)
+        psi = relocated.reshape((B * K * K, 2) + states.shape[3:])
+    else:
+        raise ValueError(f"unknown collapse mode {mode!r}")
 
-    keep = min(max_particles, B * K)
-    if keep < B * K:
+    total = psi.shape[0]
+    keep = min(max_particles, total)
+    if keep < total:
         top_w, idx = jax.lax.top_k(log_w, keep)
         psi = psi[idx]
         log_w = top_w

@@ -43,8 +43,8 @@ class TestMidMeasurement:
                "gate hadamardGate ; 2\n"
                "meas b ; computation ; [2]")
         _, results, ens, _ = _run_both(src)
-        # 4 outcomes × 2 outcomes = 8 particles
-        assert ens.num_particles == 8
+        # reference-semantics collapse fans K^2 per meas: 16 then 16*4=64
+        assert ens.num_particles == 64
         np.testing.assert_allclose(results["a"].probs, [0.25] * 4, atol=1e-6)
 
     def test_peek_does_not_collapse(self):
@@ -54,7 +54,7 @@ class TestMidMeasurement:
                "peek a ; computation ; [0]\n"
                "meas full ; computation")
         dense, results, ens, _ = _run_both(src)
-        assert ens.num_particles <= 4
+        assert ens.num_particles <= 16   # only the final meas fans (K^2)
         np.testing.assert_allclose(results["a"].probs, [0.5, 0.5], atol=1e-6)
         # bell correlations survive the peek
         np.testing.assert_allclose(results["full"].probs,
@@ -200,3 +200,34 @@ class TestSamplingMode:
             np.testing.assert_allclose(np.asarray(dist), [0.5, 0.5],
                                        atol=1e-4)
         assert np.all(np.isfinite(np.asarray(ens.psi)))
+
+
+class TestCollapseModes:
+    def test_projective_mode_keeps_correlations(self):
+        """Textbook collapse preserves outcome-rest classical correlation;
+        reference mode decoheres it into a product state."""
+        import jax.numpy as jnp
+
+        from qbot_tpu.inference.ensemble_exec import (
+            ensemble_mixture,
+            init_ensemble,
+            measure_fanout,
+        )
+        from qbot_tpu.tpu.planar import to_planar
+
+        bell = np.zeros(4, complex)
+        bell[0] = bell[3] = 2**-0.5
+        ens0 = init_ensemble(jnp.asarray(to_planar(bell)))
+
+        proj, _ = measure_fanout(ens0, 2, [0], mode="projective")
+        rho_p = ensemble_mixture(proj)
+        want_p = np.diag([0.5, 0, 0, 0.5])          # correlated mixture
+        np.testing.assert_allclose(rho_p, want_p, atol=1e-6)
+
+        ref, _ = measure_fanout(ens0, 2, [0], mode="reference")
+        rho_r = ensemble_mixture(ref)
+        want_r = np.eye(4) / 4                      # decohered product
+        np.testing.assert_allclose(rho_r, want_r, atol=1e-6)
+        # and the reference-mode result matches the dense interpreter
+        dense = executeTxt("qset bell[0]\nmeas x ; comp ; 0")
+        np.testing.assert_allclose(rho_r, dense["state"], atol=1e-6)

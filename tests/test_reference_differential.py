@@ -100,3 +100,64 @@ def test_results_list_matches_reference(ref_execute, src):
     ours = executeTxt(src)["results"]
     theirs = ref_execute(src)["results"]
     np.testing.assert_allclose(np.array(ours), np.array(theirs), atol=1e-10)
+
+
+def _random_program(seed: int) -> str:
+    """Random gate/swap/meas program over 2-4 qubits (property-based
+    differential fodder; deterministic per seed)."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 5))
+    gates_1q = ["hadamardGate", "pauliXGate", "pauliYGate", "pauliZGate",
+                "xRotGate(0.7)", "yRotGate(1.3)", "zRotGate(0.5)"]
+    lines = [f"qset tensorExp(comp[{int(rng.integers(0, 2))}], {n})"]
+    for _ in range(int(rng.integers(4, 12))):
+        kind = int(rng.integers(0, 4))
+        if kind == 0 or n < 2:
+            q = int(rng.integers(0, n))
+            g = gates_1q[int(rng.integers(0, len(gates_1q)))]
+            lines.append(f"gate {g} ; {q}")
+        elif kind == 1:
+            t, c = (int(x) for x in rng.choice(n, 2, replace=False))
+            lines.append(f"gate pauliXGate ; {t} ; [{c}]")
+        elif kind == 2:
+            a, b = (int(x) for x in rng.choice(n, 2, replace=False))
+            lines.append(f"swap {a} ; {b}")
+        else:
+            q = int(rng.integers(0, n))
+            lines.append(f"gate hadamardGate ; {q}")
+    if rng.random() < 0.5:
+        t = sorted(int(x) for x in
+                   rng.choice(n, int(rng.integers(1, n)), replace=False))
+        lines.append(f"meas x ; comp ; {t}")
+    return "\n".join(lines)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_random_program_matches_reference(ref_execute, seed):
+    """Property-based: 20 random programs, bit-level state agreement."""
+    src = _random_program(seed)
+    ours = executeTxt(src)
+    theirs = ref_execute(src)
+    np.testing.assert_allclose(ours["state"], theirs["state"], atol=1e-10,
+                               err_msg=src)
+    if "x" in theirs:
+        np.testing.assert_allclose(ours["x"].probs, theirs["x"].probs,
+                                   atol=1e-10, err_msg=src)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_program_compiled_matches_reference(ref_execute, seed):
+    """The same random programs through the DEVICE engine (lowered,
+    mid-measure ensemble executor) against the live reference."""
+    from qbot_tpu.frontend.lowering import lower_program, run_lowered_ensemble
+    from qbot_tpu.inference.ensemble_exec import ensemble_mixture
+
+    src = _random_program(seed)
+    theirs = ref_execute(src)
+    lp = lower_program(src, mid_measure=True)
+    results, ens = run_lowered_ensemble(lp)
+    np.testing.assert_allclose(ensemble_mixture(ens), theirs["state"],
+                               atol=2e-5, err_msg=src)
+    if "x" in theirs and results:
+        np.testing.assert_allclose(results["x"].probs, theirs["x"].probs,
+                                   atol=1e-5, err_msg=src)
