@@ -101,9 +101,16 @@ class ReflectStep:
     ``factors[i]`` is the complex vector for the i-th contiguous qubit
     block; blocks tile [0, n) in order.  ``original`` keeps the replaced
     steps for executors that cannot run reflections directly (density).
+
+    ``pre_flips`` are basis-state sign flips applied BEFORE the reflection
+    (a preceding oracle).  Because the reflection is a rank-1 update, a
+    flipped basis state only shifts ⟨v|ψ⟩ by a scalar and the output at one
+    index — so fused flips cost O(1) gather/scatter work instead of an HBM
+    pass of their own.
     """
     factors: tuple[np.ndarray, ...]
     original: tuple = ()
+    pre_flips: tuple[int, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -129,8 +136,19 @@ class Plan:
 
     @property
     def num_passes(self) -> int:
-        """Full-state HBM passes this plan costs (the perf figure of merit)."""
-        return len(self.steps)
+        """Full-state HBM passes this plan costs (the perf figure of merit).
+
+        ReflectStep costs 2 (⟨v|ψ⟩ read pass + rank-1 update pass);
+        FlipStep costs 0 (an in-place single-element scatter); every other
+        step reads and writes the state once.
+        """
+        total = 0
+        for s in self.steps:
+            if isinstance(s, ReflectStep):
+                total += 2
+            elif not isinstance(s, FlipStep):
+                total += 1
+        return total
 
     def hbm_bytes(self, dtype_bytes: int = 4, planar: bool = True) -> int:
         """HBM traffic per execution: read + write of the planar state per
@@ -401,11 +419,13 @@ def expand_pairs(steps):
 
 
 def _fuse_flips(steps: list[Step]) -> list[Step]:
-    """Attach each FlipStep to the next WindowStep as a fused pre-flip.
+    """Attach each FlipStep to the next WindowStep or ReflectStep as a
+    fused pre-flip.
 
     A flip does not commute with later steps, so it may only fuse into the
-    *first* subsequent step; flips not followed by a WindowStep stay
-    standalone.
+    *first* subsequent step; flips not followed by a fusable step stay
+    standalone.  Fusing into a ReflectStep keeps the replaced original
+    steps prefixed with the flips so ``expand_reflections`` stays exact.
     """
     out: list[Step] = []
     pending: list[int] = []
@@ -416,6 +436,12 @@ def _fuse_flips(steps: list[Step]) -> list[Step]:
         if pending and isinstance(step, WindowStep):
             step = WindowStep(step.start, step.width, step.terms,
                               step.pre_flips + tuple(pending))
+            pending.clear()
+        elif pending and isinstance(step, ReflectStep):
+            step = ReflectStep(
+                step.factors,
+                tuple(FlipStep(i) for i in pending) + tuple(step.original),
+                step.pre_flips + tuple(pending))
             pending.clear()
         elif pending:
             out.extend(FlipStep(i) for i in pending)

@@ -65,6 +65,7 @@ def _dot(a, b):
     return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
 __all__ = ["planar_window_apply", "planar_pair_window_apply",
+           "planar_reflect_update", "planar_reflect_dot",
            "set_kernel_mode", "kernel_mode", "set_dot_mode", "dot_mode"]
 
 _MODE = "auto"          # "auto" | "on" | "off" | "interpret"
@@ -331,6 +332,165 @@ def _pair_bt(w1, w2, p, block_b: int, flips=()):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(w1, w2, p)
+
+
+# ---------------------------------------------------------------------------
+# Householder-reflection kernels: ψ → Fψ − 2c·v with product |v⟩ = A ⊗ B
+# (A = kron of head factors, B = tail factor).  The update is a pure-VPU
+# rank-1 broadcast — one read + one write of the state (the XLA planar
+# formulation costs ~3.5× that: the (2, ·) stack forces an extra full copy
+# and the broadcast chain materialises v).  The same pass also accumulates
+# D[t] = Σ_h conj(A_h)·out[h,t], from which the NEXT reflection's ⟨v|ψ'⟩ is
+# a (T,)-sized contraction — so a scanned chain of reflections (Grover)
+# costs ONE HBM pass per iteration.
+# ---------------------------------------------------------------------------
+
+def _reflect_update_body(c_ref, a_ref, b_ref, p_ref, o_ref, d_ref, *,
+                         flips, RB, T):
+    cr, ci = c_ref[0], c_ref[1]
+    ar = a_ref[0]                      # (RB, 1)
+    ai = a_ref[1]
+    br = b_ref[0]                      # (1, T)
+    bi = b_ref[1]
+    pr = p_ref[0]
+    pi = p_ref[1]
+    if flips:
+        row = jax.lax.broadcasted_iota(jnp.int32, (RB, T), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (RB, T), 1)
+        sign = jnp.ones((RB, T), dtype=pr.dtype)
+        for tile_star, row_star, lane_star in flips:
+            here = (pl.program_id(0) == tile_star).astype(pr.dtype)
+            hit = ((row == row_star) & (col == lane_star)).astype(pr.dtype)
+            sign = sign * (1.0 - 2.0 * here * hit)
+        pr = pr * sign
+        pi = pi * sign
+    # out = ψ − 2c·(A ⊗ B): rank-1 in each planar component
+    qr = cr * br - ci * bi
+    qi = cr * bi + ci * br
+    outr = pr - 2.0 * (ar * qr - ai * qi)
+    outi = pi - 2.0 * (ar * qi + ai * qr)
+    o_ref[0] = outr
+    o_ref[1] = outi
+    # per-lane partial dot D[t] += Σ_h conj(A_h)·out[h,t]
+    dr = jnp.sum(ar * outr + ai * outi, axis=0, keepdims=True)
+    di = jnp.sum(ar * outi - ai * outr, axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        d_ref[...] = jnp.zeros((2, 1, T), dtype=pr.dtype)
+
+    d_ref[0] += dr
+    d_ref[1] += di
+
+
+@functools.partial(jax.jit, static_argnames=("flips",))
+def _reflect_update(c, a, b, p, flips=()):
+    """c: (2,); a: (2, H, 1); b: (2, 1, T); p: (2, H, T) →
+    ((2, H, T), (2, 1, T))."""
+    _, H, T = p.shape
+    RB = min(H, 2048)
+    grid = (pl.cdiv(H, RB),)
+    kernel = functools.partial(_reflect_update_body, flips=flips, RB=RB, T=T)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, RB, 1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, T), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, RB, T), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, RB, T), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, T), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct(p.shape, p.dtype),
+                   jax.ShapeDtypeStruct((2, 1, T), p.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(c, a, b, p)
+
+
+def _reflect_dot_body(a_ref, b_ref, p_ref, d_ref, *, RB, T):
+    ar = a_ref[0]                      # (RB, 1)
+    ai = a_ref[1]
+    pr = p_ref[0]
+    pi = p_ref[1]
+    dr = jnp.sum(ar * pr + ai * pi, axis=0, keepdims=True)
+    di = jnp.sum(ar * pi - ai * pr, axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        d_ref[...] = jnp.zeros((2, 1, T), dtype=pr.dtype)
+
+    d_ref[0] += dr
+    d_ref[1] += di
+
+
+@jax.jit
+def _reflect_dot(a, b, p):
+    """a: (2, H, 1); b: (2, 1, T); p: (2, H, T) → per-lane dot (2, 1, T)."""
+    _, H, T = p.shape
+    RB = min(H, 2048)
+    grid = (pl.cdiv(H, RB),)
+    kernel = functools.partial(_reflect_dot_body, RB=RB, T=T)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2, RB, 1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, T), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, RB, T), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, 1, T), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, 1, T), p.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(a, b, p)
+
+
+def _reflect_geometry_ok(H: int, T: int) -> bool:
+    return T >= 128 and T <= 512 and H >= 8
+
+
+def planar_reflect_update(psi, c, a, b, flips=()):
+    """One-pass reflection update: out = Fψ − 2c·(A⊗B), plus the per-lane
+    dot D[t] = Σ_h conj(A_h)·out[h,t] of the RESULT (for chaining).
+
+    psi: planar (2, H, T) view of the state; c: (2,) scalars ⟨v|Fψ⟩;
+    a/b: planar (2, H)/(2, T) head/tail factor tables; flips: flat basis
+    indices sign-flipped before the update.  Returns (out, D) or None when
+    the kernel geometry/backend is unsupported (caller falls back to XLA).
+    """
+    _, H, T = psi.shape
+    if not (_use_pallas() and _reflect_geometry_ok(H, T)):
+        return None
+    RB = min(H, 2048)
+    kflips = tuple(((m // T) // RB, (m // T) % RB, m % T) for m in flips)
+    out, d = _reflect_update(c, a, b, psi, kflips)
+    return out, d
+
+
+def planar_reflect_dot(psi, a, b):
+    """Per-lane dot D[t] = Σ_h conj(A_h)·ψ[h,t] in one read pass, or None
+    when unsupported.  ⟨v|ψ⟩ = Σ_t conj(B_t)·D[t] (tiny epilogue)."""
+    _, H, T = psi.shape
+    if not (_use_pallas() and _reflect_geometry_ok(H, T)):
+        return None
+    return _reflect_dot(a, b, psi)
 
 
 def planar_pair_window_apply(psi, n: int, s1: int, w1: int, s2: int, w2: int,

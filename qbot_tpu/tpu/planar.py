@@ -186,48 +186,128 @@ def _apply_pair_planar(psi, n: int, step: PairStep, params):
         W1r, W1i, W2r, W2i, step.first.pre_flips)
 
 
-def _apply_reflect_planar(psi, n: int, step: ReflectStep):
-    """ψ → ψ − 2⟨v|ψ⟩v for product |v⟩ = ⊗ factors.
+def reflect_component(factors, index: int) -> complex:
+    """Static component ``v[index]`` of the product state |v⟩ = ⊗ factors."""
+    v = 1.0 + 0.0j
+    shift = sum(int(f.shape[0]).bit_length() - 1 for f in factors)
+    for f in factors:
+        d = int(f.shape[0])
+        shift -= d.bit_length() - 1
+        v *= complex(np.asarray(f, np.complex128)[(index >> shift) & (d - 1)])
+    return v
 
-    One read pass (a chain of ever-smaller contractions; the first reads
-    the full state once) + one fused elementwise update pass (the ⊗-product
-    of factors broadcasts in-register — XLA fuses it into the update, so
-    |v⟩ is never materialised in HBM).
+
+def _broadcast_product(factors, dims, dtype):
+    """(vr, vi) of |v⟩ = ⊗ factors as broadcastable planar arrays.
+
+    Built axis-by-axis so XLA keeps the product in-register inside whatever
+    consumer it fuses into — |v⟩ is never materialised in HBM.
     """
-    dims = tuple(f.shape[0] for f in step.factors)
-    t_r = psi[0].reshape(dims)
-    t_i = psi[1].reshape(dims)
-    planar_factors = []
-    for f in step.factors:
+    vr = jnp.asarray(1.0, dtype)
+    vi = jnp.asarray(0.0, dtype)
+    for ax, f in enumerate(factors):
         fr, fi = _planar_pair(np.asarray(f, np.complex128))
-        planar_factors.append((jnp.asarray(fr), jnp.asarray(fi)))
-
-    # c = ⟨v|ψ⟩: contract conj(f) over the leading axis repeatedly.  Each
-    # step is ONE einsum mixing both planar components — the first reads
-    # the full state exactly once (vs 4 separate tensordots reading it
-    # twice); later steps touch ever-smaller tensors.
-    t = psi
-    for fr, fi in planar_factors:
-        d0 = fr.shape[0]
-        W = jnp.stack([jnp.stack([fr, fi]), jnp.stack([-fi, fr])])
-        t = jnp.einsum("acx,cxr->ar", W, t.reshape(2, d0, -1),
-                       precision=_PREC)
-    cr, ci = t[0, 0], t[1, 0]
-
-    # V = ⊗ factors, built as a broadcast product (fuses into the update)
-    vr = jnp.asarray(1.0, psi.dtype)
-    vi = jnp.asarray(0.0, psi.dtype)
-    for ax, (fr, fi) in enumerate(planar_factors):
         shape = [1] * len(dims)
         shape[ax] = dims[ax]
-        br, bi = fr.reshape(shape), fi.reshape(shape)
+        br = jnp.asarray(fr).reshape(shape)
+        bi = jnp.asarray(fi).reshape(shape)
         vr, vi = vr * br - vi * bi, vr * bi + vi * br
+    return vr, vi
+
+
+def _reflect_tables(step: ReflectStep, dtype=np.float32):
+    """Planar head/tail factor tables for the Pallas reflection kernels.
+
+    |v⟩ = A ⊗ B with A = kron of all factors but the last (the 'head'),
+    B = the last factor (the 'tail', lane-sized by the window partition).
+    """
+    head = np.ones(1, np.complex128)
+    for f in step.factors[:-1]:
+        head = np.kron(head, np.asarray(f, np.complex128))
+    tail = np.asarray(step.factors[-1], np.complex128)
+    H, T = head.shape[0], tail.shape[0]
+    a = np.stack([head.real, head.imag]).astype(dtype).reshape(2, H, 1)
+    b = np.stack([tail.real, tail.imag]).astype(dtype).reshape(2, 1, T)
+    return jnp.asarray(a), jnp.asarray(b), H, T
+
+
+def _lane_dot_to_c(d, b):
+    """⟨v|ψ⟩ from the kernels' per-lane dot D: c = Σ_t conj(B_t)·D[t]."""
+    cr = jnp.sum(b[0, 0] * d[0, 0] + b[1, 0] * d[1, 0])
+    ci = jnp.sum(b[0, 0] * d[1, 0] - b[1, 0] * d[0, 0])
+    return cr, ci
+
+
+def _flip_corrections(cr, ci, p3, step: ReflectStep, T: int):
+    """c ← c − 2·conj(v_m)·ψ_m for each fused flip (O(1) gathers)."""
+    for m in step.pre_flips:
+        vm = reflect_component(step.factors, m)
+        pmr = p3[0, m // T, m % T]
+        pmi = p3[1, m // T, m % T]
+        cr = cr - 2.0 * (vm.real * pmr + vm.imag * pmi)
+        ci = ci - 2.0 * (vm.real * pmi - vm.imag * pmr)
+    return cr, ci
+
+
+def _apply_reflect_planar_pallas(psi, n: int, step: ReflectStep):
+    """Two-kernel reflection: one read pass (dot) + one read+write pass
+    (rank-1 update with fused flips).  None if geometry/backend rules it
+    out (caller falls back to the XLA formulation)."""
+    from qbot_tpu.tpu import kernels
+
+    a, b, H, T = _reflect_tables(step)
+    p3 = psi.reshape(2, H, T)
+    d = kernels.planar_reflect_dot(p3, a, b)
+    if d is None:
+        return None
+    cr, ci = _lane_dot_to_c(d, b)
+    cr, ci = _flip_corrections(cr, ci, p3, step, T)
+    out, _ = kernels.planar_reflect_update(p3, jnp.stack([cr, ci]), a, b,
+                                           step.pre_flips)
+    return out.reshape(psi.shape)
+
+
+def _apply_reflect_planar(psi, n: int, step: ReflectStep):
+    """ψ → Fψ − 2⟨v|Fψ⟩v for product |v⟩ = ⊗ factors, F = fused sign flips.
+
+    Two HBM passes: the ⟨v|ψ⟩ contraction as ONE fused elementwise
+    multiply-reduce over the flat state (a matmul formulation here makes
+    XLA materialise a transposed-layout copy of the whole state — measured
+    ~5× slower), then one fused elementwise rank-1 update.  The fused
+    pre-flips (oracle) are exact O(1) scalar corrections: a flipped basis
+    state shifts ⟨v|Fψ⟩ by −2·conj(v_m)·ψ_m and the output at index m by
+    −2·ψ_m.
+    """
+    fast = _apply_reflect_planar_pallas(psi, n, step)
+    if fast is not None:
+        return fast
+
+    dims = tuple(f.shape[0] for f in step.factors)
+    pr = psi[0].reshape(dims)
+    pi = psi[1].reshape(dims)
+    vr, vi = _broadcast_product(step.factors, dims, psi.dtype)
+
+    # c = ⟨v|ψ⟩ = Σ conj(v)·ψ — one fused read pass
+    cr = jnp.sum(vr * pr + vi * pi)
+    ci = jnp.sum(vr * pi - vi * pr)
+
+    # fused-flip scalar corrections: c ← c − 2·conj(v_m)·ψ_m
+    flip_vals = []
+    for m in step.pre_flips:
+        vm = reflect_component(step.factors, m)
+        pmr, pmi = psi[0, m], psi[1, m]
+        cr = cr - 2.0 * (vm.real * pmr + vm.imag * pmi)
+        ci = ci - 2.0 * (vm.real * pmi - vm.imag * pmr)
+        flip_vals.append((m, pmr, pmi))
 
     sr = 2.0 * (cr * vr - ci * vi)
     si = 2.0 * (cr * vi + ci * vr)
-    out_r = t_r - sr
-    out_i = t_i - si
-    return jnp.stack([out_r.reshape(-1), out_i.reshape(-1)])
+    out = jnp.stack([(pr - sr).reshape(-1), (pi - si).reshape(-1)])
+    # output corrections at flipped indices: (Fψ)_m = −ψ_m
+    for m, pmr, pmi in flip_vals:
+        out = out.at[0, m].add(-2.0 * pmr)
+        out = out.at[1, m].add(-2.0 * pmi)
+    return out
 
 
 def _apply_diag_planar(psi, n: int, step: DiagStep):
@@ -420,8 +500,101 @@ def make_planar_runner(plan: Plan):
     return run
 
 
+def _make_scanned_reflect_runner(step: ReflectStep, repeats: int,
+                                 init_plan: Optional[Plan]):
+    """Scan a pure-reflection body at ONE fused HBM pass per iteration.
+
+    Three measured facts shape this (TPU v5e, 26 qubits):
+    * XLA's fused elementwise loops move ~505 GB/s; Pallas DMA pipelines
+      only ~286 GB/s here — so the hot loop is XLA, not a custom kernel.
+    * Restacking the two planar components into one (2, ·) carry costs a
+      full extra state copy per iteration (~2× slowdown) — so the carry
+      keeps (re, im) as SEPARATE arrays and only restacks on exit.
+    * XLA fuses reductions into the elementwise pass that produces their
+      operand — so ⟨v|ψ_{k+1}⟩ is computed as four partial sums inside the
+      update passes and carried as two scalars; the separate read pass
+      runs only once, as the prologue.
+    Fused oracle flips are exact: a sign pattern from broadcast iota
+    comparisons (in-register) plus O(1) scalar corrections to the carry.
+    """
+    factors = [np.asarray(f, np.complex128) for f in step.factors]
+    head = np.ones(1, np.complex128)
+    for f in factors[:-1]:
+        head = np.kron(head, f)
+    tail = factors[-1]
+    H, T = head.shape[0], tail.shape[0]
+    if H < 2 or T < 2:
+        return None
+    Ar = jnp.asarray(head.real.astype(np.float32).reshape(H, 1))
+    Ai = jnp.asarray(head.imag.astype(np.float32).reshape(H, 1))
+    Br = jnp.asarray(tail.real.astype(np.float32).reshape(1, T))
+    Bi = jnp.asarray(tail.imag.astype(np.float32).reshape(1, T))
+    flip_info = [(m, m // T, m % T, reflect_component(step.factors, m))
+                 for m in step.pre_flips]
+
+    def sign_pattern(dtype):
+        """(H,1)·(1,T) mask products — fused, never materialised."""
+        row = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        sign = jnp.asarray(1.0, dtype)
+        for _, r0, t0, _ in flip_info:
+            hit = ((row == r0).astype(dtype) * (col == t0).astype(dtype))
+            sign = sign * (1.0 - 2.0 * hit)
+        return sign
+
+    def correct_c(cr, ci, pr, pi):
+        """c ← c − 2·conj(v_m)·ψ_m for each fused flip (O(1) gathers)."""
+        for _, r0, t0, vm in flip_info:
+            pmr, pmi = pr[r0, t0], pi[r0, t0]
+            cr = cr - 2.0 * (vm.real * pmr + vm.imag * pmi)
+            ci = ci - 2.0 * (vm.real * pmi - vm.imag * pmr)
+        return cr, ci
+
+    @jax.jit
+    def run(psi, params=None):
+        if init_plan is not None:
+            psi = apply_plan_planar(psi, init_plan, params)
+        shape = psi.shape
+        pr = psi[0].reshape(H, T)
+        pi = psi[1].reshape(H, T)
+        # prologue: c₀ = ⟨v|Fψ₀⟩ (the only standalone read pass)
+        vr = Ar * Br - Ai * Bi
+        vi = Ar * Bi + Ai * Br
+        cr = jnp.sum(vr * pr + vi * pi)
+        ci = jnp.sum(vr * pi - vi * pr)
+        cr, ci = correct_c(cr, ci, pr, pi)
+        sign = sign_pattern(psi.dtype)
+
+        def body(carry, _):
+            pr, pi, cr, ci = carry
+            qr = cr * Br - ci * Bi
+            qi = cr * Bi + ci * Br
+            # out = Fψ − 2c·(A⊗B): one fused pass per planar component,
+            # each also emitting its two partial sums for the next c
+            outr = sign * pr - 2.0 * (Ar * qr - Ai * qi)
+            outi = sign * pi - 2.0 * (Ar * qi + Ai * qr)
+            s_rr = jnp.sum((Ar * Br - Ai * Bi) * outr)
+            s_ir = jnp.sum((Ar * Bi + Ai * Br) * outr)
+            s_ri = jnp.sum((Ar * Br - Ai * Bi) * outi)
+            s_ii = jnp.sum((Ar * Bi + Ai * Br) * outi)
+            ncr, nci = correct_c(s_rr + s_ii, s_ri - s_ir, outr, outi)
+            return (outr, outi, ncr, nci), None
+
+        (pr, pi, _, _), _ = jax.lax.scan(body, (pr, pi, cr, ci), None,
+                                         length=repeats)
+        return jnp.stack([pr.reshape(-1), pi.reshape(-1)]).reshape(shape)
+    return run
+
+
 def make_scanned_planar_runner(body_plan: Plan, repeats: int,
                                init_plan: Optional[Plan] = None):
+    if (len(body_plan.steps) == 1
+            and isinstance(body_plan.steps[0], ReflectStep)):
+        fast = _make_scanned_reflect_runner(body_plan.steps[0], repeats,
+                                            init_plan)
+        if fast is not None:
+            return fast
+
     @jax.jit
     def run(psi, params=None):
         if init_plan is not None:

@@ -142,19 +142,32 @@ def _apply_contract(psi: jnp.ndarray, n: int, step: ContractStep, params):
 
 
 def _apply_reflect(psi: jnp.ndarray, step: ReflectStep):
-    """ψ → ψ − 2⟨v|ψ⟩v for product |v⟩ = ⊗ factors (complex dtype)."""
+    """ψ → Fψ − 2⟨v|Fψ⟩v for product |v⟩ = ⊗ factors (complex dtype);
+    F = fused pre-flip sign flips, applied as O(1) scalar corrections."""
+    from qbot_tpu.tpu.planar import reflect_component
+
     dims = tuple(f.shape[0] for f in step.factors)
+    flat = psi.reshape(-1)
     t = psi.reshape(dims)
     c = t
     for f in step.factors:
         c = jnp.tensordot(jnp.conj(jnp.asarray(f, psi.dtype)), c,
                           axes=(0, 0))
+    flip_vals = []
+    for m in step.pre_flips:
+        vm = reflect_component(step.factors, m)
+        pm = flat[m]
+        c = c - 2.0 * np.conj(vm) * pm
+        flip_vals.append((m, pm))
     v = jnp.asarray(1.0, psi.dtype)
     for ax, f in enumerate(step.factors):
         shape = [1] * len(dims)
         shape[ax] = dims[ax]
         v = v * jnp.asarray(f, psi.dtype).reshape(shape)
-    return (t - 2.0 * c * v).reshape(psi.shape)
+    out = (t - 2.0 * c * v).reshape(-1)
+    for m, pm in flip_vals:
+        out = out.at[m].add(-2.0 * pm)
+    return out.reshape(psi.shape)
 
 
 def apply_plan(psi: jnp.ndarray, plan: Plan, params=None) -> jnp.ndarray:

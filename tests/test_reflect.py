@@ -44,9 +44,11 @@ class TestDetection:
     def test_grover_body_detected(self):
         plan = compile_circuit(_h_flip_h(10, oracle=123))
         kinds = [type(s).__name__ for s in plan.steps]
-        assert kinds == ["FlipStep", "ReflectStep"]
+        # the oracle flip fuses INTO the reflection (O(1) scalar correction)
+        assert kinds == ["ReflectStep"]
+        refl = plan.steps[0]
+        assert refl.pre_flips == (123,)
         # the reflection about H|0..0> is the uniform state: all factors +
-        refl = plan.steps[1]
         v = refl.factors[0]
         for f in refl.factors[1:]:
             v = np.kron(v, f)
