@@ -87,7 +87,8 @@ class TestCompiler:
         c = Circuit(10)
         c.phase_flip(3)
         plan = compile_circuit(c, window=7)
-        assert plan.num_passes == 1
+        # a FlipStep is an in-place single-element scatter: zero HBM passes
+        assert plan.num_passes == 0
         from qbot_tpu.tpu.compiler import FlipStep
         assert isinstance(plan.steps[0], FlipStep)
 
