@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 _ACTIVE = "numpy"
+_DTYPE: str | None = None      # None = backend default; "c64" | "c128"
 
 
 def set_backend(name: str) -> None:
@@ -24,6 +25,31 @@ def set_backend(name: str) -> None:
     if name not in ("numpy", "jax"):
         raise ValueError(f"unknown backend {name!r} (expected numpy|jax)")
     _ACTIVE = name
+
+
+def set_dtype(name: str | None) -> None:
+    """Select the register's complex precision (CLI ``--dtype``).
+
+    ``None`` keeps the backend default (complex128 numpy / complex64 jax).
+    """
+    global _DTYPE
+    if name not in (None, "c64", "c128"):
+        raise ValueError(f"unknown dtype {name!r} (expected c64|c128)")
+    _DTYPE = name
+
+
+def complex_dtype():
+    """The active complex dtype for register states."""
+    if _DTYPE == "c64":
+        return np.complex64
+    if _DTYPE == "c128":
+        return np.complex128
+    return np.complex64 if _ACTIVE == "jax" else np.complex128
+
+
+def dtype_override():
+    """The explicitly requested complex dtype, or None when defaulted."""
+    return None if _DTYPE is None else complex_dtype()
 
 
 def get_backend() -> str:

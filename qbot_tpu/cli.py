@@ -51,6 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="enable probabilistic control flow: ProbVal "
                              "conditions on cjmp/halt/retr fork weighted "
                              "execution branches")
+    parser.add_argument("--smc", type=int, default=0, metavar="B",
+                        help="with --compile --ensemble: run B sampled SMC "
+                             "particles (constant memory) instead of the "
+                             "exact outcome fan-out; keyed by --seed")
+    parser.add_argument("--mesh", type=str, default=None, metavar="PxQ",
+                        help="device mesh shape particles x qubit-shards "
+                             "for --shard runs (e.g. 2x4); default 1 x 2^K")
     return parser
 
 
@@ -61,12 +68,15 @@ def main(argv=None) -> int:
         print(f"File Not Found at Path: \n{path}")
         return 1
 
-    from qbot_tpu.backend import set_backend
+    from qbot_tpu.backend import set_backend, set_dtype
     from qbot_tpu.errors import QbotScriptError
     from qbot_tpu.frontend.interpreter import executeFile
+    from qbot_tpu.utils.config import EngineConfig, set_runtime_config
     from qbot_tpu.utils.profiling import line_profile_report, profiling_enabled
 
     set_backend(args.backend)
+    set_dtype(args.dtype)
+    set_runtime_config(EngineConfig.from_args(args))
 
     # some TPU plugins ignore the JAX_PLATFORMS env var; honour it through
     # jax.config before the backend initialises (relevant for --shard runs
@@ -75,7 +85,10 @@ def main(argv=None) -> int:
     if plat and (args.shard or args.compile_mode):
         try:
             import jax
-            jax.config.update("jax_platforms", plat)
+            # never override an explicit earlier jax.config choice (e.g. a
+            # test harness that pinned the emulated CPU mesh)
+            if not getattr(jax.config, "jax_platforms", None):
+                jax.config.update("jax_platforms", plat)
         except Exception:
             pass
 
@@ -88,7 +101,8 @@ def main(argv=None) -> int:
             )
             with open(path, "r") as f:
                 lp = lower_program(f.read(), mid_measure=True)
-            results, ens = run_lowered_ensemble(lp)
+            results, ens = run_lowered_ensemble(lp, sample=args.smc,
+                                                seed=args.seed)
             print(f"lowered: {lp.n} qubits, {lp.circuit.gate_count} gates, "
                   f"{len(lp.mid_measurements)} measurements, "
                   f"{ens.num_particles} final particles", file=sys.stderr)
@@ -107,8 +121,16 @@ def main(argv=None) -> int:
                   f"{plan.num_passes} device passes", file=sys.stderr)
             if args.shard:
                 from qbot_tpu.frontend.lowering import run_lowered_sharded
+                mesh = None
+                if args.mesh:
+                    import jax
+                    from qbot_tpu.tpu.sharding import make_mesh
+                    shape = tuple(int(x) for x in args.mesh.lower().split("x"))
+                    mesh = make_mesh(shape,
+                                     devices=jax.devices()[:shape[0] * shape[1]])
                 try:
-                    probs, _, splan = run_lowered_sharded(lp, k=args.shard)
+                    probs, _, splan = run_lowered_sharded(lp, k=args.shard,
+                                                          mesh=mesh)
                 except ValueError as e:
                     print(f"sharding error: {e}", file=sys.stderr)
                     return 1

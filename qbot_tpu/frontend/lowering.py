@@ -347,7 +347,8 @@ def _basis_rotation_plans(basis: Basis, targets, n: int, window: int):
 
 
 def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
-                         window: int = 7, collapse_mode: str = "reference"):
+                         window: int = 7, collapse_mode: str = "reference",
+                         sample: int = 0, seed: int = 0):
     """Execute a mid-measurement program on the device ensemble engine.
 
     Requires ``lower_program(text, mid_measure=True)``.  Each ``meas`` fans
@@ -355,13 +356,22 @@ def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
     at ``max_particles`` branches); ``peek`` reads the marginal without
     collapse.  Binds every MeasurementResult, runs the classical epilogue,
     and returns (results dict, final QuantumEnsemble).
+
+    ``sample > 0`` switches to the SMC regime: a fixed population of
+    ``sample`` particles each SAMPLES one outcome per measurement (optimal
+    Born proposal, :func:`~qbot_tpu.inference.ensemble_exec.measure_sample`)
+    instead of fanning out — memory stays constant however deep the
+    measurement sequence.  ``seed`` keys the sampler (CLI ``--seed``).
     """
+    import jax
     import jax.numpy as jnp
 
     from qbot_tpu.inference.ensemble_exec import (
+        QuantumEnsemble,
         apply_plan_ensemble,
         init_ensemble,
         measure_fanout,
+        measure_sample,
         peek_probs,
     )
     from qbot_tpu.tpu.compiler import compile_circuit
@@ -371,7 +381,13 @@ def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
     for ket in lp.initial_kets:
         psi0 = np.kron(psi0, ket)
     psi0 = psi0 / np.linalg.norm(psi0)
-    ens = init_ensemble(jnp.asarray(to_planar(psi0)))
+    planar0 = jnp.asarray(to_planar(psi0))
+    if sample:
+        ens = QuantumEnsemble(jnp.zeros((sample,)),
+                              jnp.repeat(planar0[None], sample, axis=0))
+        key = jax.random.PRNGKey(seed)
+    else:
+        ens = init_ensemble(planar0)
 
     all_ops = list(lp.circuit.ops)
     n = lp.n
@@ -393,8 +409,12 @@ def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
         rot, inv = _basis_rotation_plans(spec.basis, list(targets), n, window)
         if spec.collapse:
             ens_m = apply_plan_ensemble(ens, rot) if rot else ens
-            ens_m, dist = measure_fanout(ens_m, n, targets, max_particles,
-                                         mode=collapse_mode)
+            if sample:
+                key, sub = jax.random.split(key)
+                ens_m, dist, _ = measure_sample(sub, ens_m, n, targets)
+            else:
+                ens_m, dist = measure_fanout(ens_m, n, targets, max_particles,
+                                             mode=collapse_mode)
             ens = apply_plan_ensemble(ens_m, inv) if inv else ens_m
         else:
             ens_m = apply_plan_ensemble(ens, rot) if rot else ens
@@ -544,7 +564,11 @@ def run_lowered_sharded(lp: LoweredProgram, k: Optional[int] = None,
             k = max(ndev.bit_length() - 1, 0)
         mesh = make_mesh((1, 2**k), devices=jax.devices()[:2**k])
     else:
-        k = int(np.log2(mesh.devices.size)) if k is None else k
+        if k is None:
+            # shard width = the mesh's qubit axis (a (particles, qubits)
+            # mesh reserves the rest for ensemble data parallelism)
+            qdevs = dict(mesh.shape).get("qubits", mesh.devices.size)
+            k = int(np.log2(qdevs))
 
     circ = _full_circuit(lp, window)
     splan = compile_sharded(circ, k, window=window)

@@ -90,7 +90,7 @@ def _to_density(lines, line_num, val):
     """Coerce an operand to a density matrix (kets and ProbVals folded)."""
     if isinstance(val, ProbVal):
         try:
-            return val.to_density_matrix()
+            val = val.to_density_matrix()
         except Exception:
             raise err.type_error(lines, line_num,
                                  ["np.ndarray", "ProbVal<np.ndarray>"],
@@ -100,7 +100,10 @@ def _to_density(lines, line_num, val):
                              ["np.ndarray", "ProbVal<np.ndarray>"],
                              type(val).__name__)
     if val.ndim == 1 and val.size:
-        return core.ket_to_density(val, xp=backend.xp())
+        val = core.ket_to_density(val, xp=backend.xp())
+    dt = backend.dtype_override()
+    if dt is not None and val.size and val.dtype != dt:
+        val = val.astype(dt)
     return val
 
 
@@ -132,16 +135,20 @@ def _ensure_container(lines, line_num, val, required=_INT_TYPES):
                 _container_type_error(lines, line_num, val, "int")
         return val
     if isinstance(val, ProbVal):
-        for i, branch in enumerate(val.values):
+        # normalise into a COPY: wrapping scalar branches in-place would
+        # silently reshape a user ProbVal reused across several ops
+        branches = []
+        for branch in val.values:
             if isinstance(branch, (list, set, tuple)):
                 for item in branch:
                     if not isinstance(item, required):
                         _container_type_error(lines, line_num, val, "int")
+                branches.append(branch)
                 continue
             if not isinstance(branch, required):
                 _container_type_error(lines, line_num, val, "int")
-            val.values[i] = [branch]
-        return val
+            branches.append([branch])
+        return ProbVal.raw(val.probs, branches)
     if not isinstance(val, required):
         _container_type_error(lines, line_num, val, "int")
     return [val]

@@ -108,6 +108,19 @@ class ProbVal:
         return pv
 
     @staticmethod
+    def raw(probs: Sequence[float], values: Sequence) -> "ProbVal":
+        """Build a ProbVal verbatim: no flattening, pruning or renormalise.
+
+        For internal callers that already hold a normalised distribution and
+        need a *copy* with transformed values (e.g. operand coercion) without
+        mutating the user's object or re-running branch merging.
+        """
+        pv = object.__new__(ProbVal)
+        pv.probs = list(probs)
+        pv.values = list(values)
+        return pv
+
+    @staticmethod
     def from_zipped(pairs: Sequence[tuple]):
         if len(pairs) == 1:
             return pairs[0][1]

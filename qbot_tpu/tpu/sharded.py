@@ -43,7 +43,9 @@ except ImportError:                      # pragma: no cover - older jax
 
 __all__ = ["ShardedPlan", "compile_sharded", "make_sharded_planar_runner",
            "sharded_zero_state", "sharded_probs_fn", "unpermute_planar",
-           "ShardedReflect"]
+           "ShardedReflect", "density_circuit", "compile_sharded_density",
+           "shard_density", "sharded_zero_density",
+           "sharded_density_probs_fn", "unpermute_density"]
 
 
 @dataclass(frozen=True)
@@ -512,6 +514,176 @@ def make_sharded_planar_runner(splan: ShardedPlan, mesh: Mesh,
         return mapped(psi, params)
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# sharded density-matrix execution
+#
+# The reference's one-and-only state representation is a density matrix with
+# every op defined on it (/root/reference/qbot/qgates.py:278-279,
+# density.py:7-240); mixed states therefore must scale past one chip too.
+# A planar ρ of shape (2, 2^n, 2^n), viewed flat as a planar "statevector"
+# over 2n qubit axes, turns every n-qubit op into a pair of 2n-register ops:
+# U on the ROW axes [0, n) and conj(U) on the COLUMN axes [n, 2n) — exactly
+# how the single-chip executor works (tpu/planar.py:414-460).  So the whole
+# sharded machinery above (reshard scheduling, window fusion, ShardedDiag)
+# applies verbatim: compile the doubled circuit for a register of 2n qubits
+# and shard its leading k row axes over the mesh.
+# ---------------------------------------------------------------------------
+
+def density_circuit(circ: Circuit) -> Circuit:
+    """Map an n-qubit circuit to its 2n-qubit row/column program on ρ.
+
+    ``gate U`` → U on rows, conj(U) on columns; ``diag d`` → d on rows,
+    conj(d) on columns; ``flip m`` (ρ → FρF, F = I − 2|m⟩⟨m|) → a ±1 diag
+    over the n row axes and the same over the n column axes (a flip of one
+    n-qubit basis state touches a full row and column of ρ, so it is a
+    diagonal over the half-register, not a single 2n-register amplitude).
+    """
+    from qbot_tpu.tpu.planar import _conj_maker
+
+    n = circ.n
+    out = Circuit(2 * n)
+    out.num_params = circ.num_params
+    for op in circ.ops:
+        rows = tuple(op.targets)
+        cols = tuple(n + q for q in op.targets)
+        crows = tuple(op.controls)
+        ccols = tuple(n + q for q in op.controls)
+        if op.kind == "gate":
+            if op.matrix is not None:
+                out.gate(op.matrix, rows, crows)
+                out.gate(np.conj(np.asarray(op.matrix)), cols, ccols)
+            else:
+                out.param_gate(op.maker, rows, crows, param_idx=op.param_idx)
+                out.param_gate(_conj_maker(op.maker), cols, ccols,
+                               param_idx=op.param_idx)
+        elif op.kind == "diag":
+            out.diagonal(np.asarray(op.matrix), rows)
+            out.diagonal(np.conj(np.asarray(op.matrix)), cols)
+        elif op.kind == "flip":
+            vec = np.ones(2**n, np.complex128)
+            vec[op.index] = -1.0
+            out.diagonal(vec, tuple(range(n)))
+            out.diagonal(vec, tuple(range(n, 2 * n)))
+        else:  # pragma: no cover - circuit IR has no other kinds
+            raise ValueError(f"unknown op kind {op.kind!r}")
+    return out
+
+
+def compile_sharded_density(circ: Circuit, k: int, window: int = 7
+                            ) -> ShardedPlan:
+    """Compile an n-qubit circuit for a 2^k-way sharded planar ρ.
+
+    The returned plan runs through the ordinary
+    :func:`make_sharded_planar_runner` on the flat (2, 4^n) view of ρ.
+    """
+    return compile_sharded(density_circuit(circ), k, window=window)
+
+
+def shard_density(rho_planar, mesh: Mesh, axis_name: str = "qubits"
+                  ) -> jax.Array:
+    """Place a planar (2, 2^n, 2^n) ρ on the mesh, sharded over its leading
+    row-qubit axes, flattened to the runner's (2, 4^n) layout."""
+    flat = jnp.asarray(rho_planar).reshape(2, -1)
+    return jax.device_put(flat, NamedSharding(mesh, P(None, axis_name)))
+
+
+def sharded_zero_density(n: int, mesh: Mesh, axis_name: str = "qubits",
+                         dtype=jnp.float32) -> jax.Array:
+    """|0…0⟩⟨0…0| as a sharded flat planar (2, 4^n) array."""
+    return sharded_zero_state(2 * n, mesh, axis_name, dtype)
+
+
+def unpermute_density(rho_flat, perm) -> jnp.ndarray:
+    """Restore a runner-output flat planar ρ to logical (2, 2^n, 2^n)."""
+    n = len(perm) // 2
+    flat = unpermute_planar(rho_flat, perm)
+    return flat.reshape(2, 2**n, 2**n)
+
+
+def sharded_density_probs_fn(splan: ShardedPlan, mesh: Mesh,
+                             targets=None, axis_name: str = "qubits"):
+    """jit a density readout: marginal computation-basis probabilities of
+    logical ``targets`` (the diagonal of the reduced ρ), replicated.
+
+    ``splan`` is a density plan over 2n axes (``compile_sharded_density``);
+    logical qubit q lives at the physical positions of axes q (row) and
+    n+q (column) under ``splan.final_perm``.  Per shard: qubit pairs are
+    diagonal-extracted (kept targets) or traced (the rest), axis by axis;
+    pairs with a sharded side select on device-id bits, and a both-sharded
+    pair contributes only on shards whose two bits agree.  Shard results
+    scatter at their device-bit offsets and a psum assembles the marginal.
+    """
+    n2, k = splan.n, splan.k
+    n = n2 // 2
+    perm = splan.final_perm
+    pos = [0] * n2
+    for p, q in enumerate(perm):
+        pos[q] = p
+    targets = list(range(n)) if targets is None else sorted(targets)
+    keep = set(targets)
+
+    def body(rho):
+        # diagonal of Hermitian ρ is real: only the planar real part matters
+        t = rho[0].reshape((2,) * (n2 - k))
+        dev = jax.lax.axis_index(axis_name)
+        # tags[i] names what tensor axis i currently holds
+        tags: list = [("local", p) for p in range(k, n2)]
+
+        def axis_of(p):
+            return tags.index(("local", p))
+
+        def dev_bit(p):
+            return (dev >> (k - 1 - p)) & 1
+
+        mask = jnp.ones((), t.dtype)
+        offset = jnp.zeros((), jnp.int32)
+        out_bits = len(targets)
+        for q in range(n):
+            pr, pc = pos[q], pos[n + q]
+            weight = (1 << (out_bits - 1 - targets.index(q))
+                      if q in keep else 0)
+            if pr >= k and pc >= k:
+                ar, ac = axis_of(pr), axis_of(pc)
+                if q in keep:
+                    t = jnp.diagonal(t, axis1=ar, axis2=ac)
+                    del tags[max(ar, ac)], tags[min(ar, ac)]
+                    tags.append(("q", q))
+                else:
+                    t = jnp.trace(t, axis1=ar, axis2=ac)
+                    del tags[max(ar, ac)], tags[min(ar, ac)]
+            elif pr < k and pc < k:
+                br, bc = dev_bit(pr), dev_bit(pc)
+                mask = mask * (br == bc).astype(t.dtype)
+                if q in keep:
+                    offset = offset + br.astype(jnp.int32) * weight
+            else:
+                shard_p, local_p = (pr, pc) if pr < k else (pc, pr)
+                bit = dev_bit(shard_p)
+                a = axis_of(local_p)
+                t = jnp.take(t, bit, axis=a)
+                del tags[a]
+                if q in keep:
+                    offset = offset + bit.astype(jnp.int32) * weight
+
+        # remaining axes are kept qubits in tag order; flatten with the
+        # output weights via index arithmetic (mirrors sharded_probs_fn)
+        flat = t.reshape(-1) * mask
+        idx = jnp.zeros(flat.shape, jnp.int32)
+        if tags:
+            coords = jnp.unravel_index(jnp.arange(flat.shape[0]), t.shape)
+            for rank, (_, q) in enumerate(tags):
+                weight = 1 << (out_bits - 1 - targets.index(q))
+                idx = idx + coords[rank].astype(jnp.int32) * weight
+        out = jnp.zeros((2**out_bits,), flat.dtype)
+        out = out.at[offset + idx].add(flat)
+        return jax.lax.psum(out, axis_name)
+
+    mapped = _shard_map(body, mesh=mesh,
+                        in_specs=(P(None, axis_name),),
+                        out_specs=P())
+    return jax.jit(mapped)
 
 
 def sharded_probs_fn(splan: ShardedPlan, mesh: Mesh,

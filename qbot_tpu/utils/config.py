@@ -18,6 +18,8 @@ class EngineConfig:
     mesh_shape: Optional[tuple[int, int]] = None   # (particles, qubits)
     profile: bool = False
 
+    smc_particles: int = 0          # >0: sampled SMC measurements (CLI --smc)
+
     @staticmethod
     def from_args(args) -> "EngineConfig":
         mesh = None
@@ -33,4 +35,18 @@ class EngineConfig:
             seed=getattr(args, "seed", 0),
             mesh_shape=mesh,
             profile=getattr(args, "profile", False),
+            smc_particles=getattr(args, "smc", 0),
         )
+
+
+_RUNTIME = EngineConfig()
+
+
+def set_runtime_config(cfg: EngineConfig) -> None:
+    """Install the process-wide engine configuration (set by the CLI)."""
+    global _RUNTIME
+    _RUNTIME = cfg
+
+
+def runtime_config() -> EngineConfig:
+    return _RUNTIME

@@ -66,3 +66,62 @@ class TestCli:
         rc = main([qb_file("cdef x ; 1"), "--profile"])
         assert rc == 0
         assert "cdef" in capsys.readouterr().err
+
+    def test_dtype_flag(self, qb_file, capsys):
+        from qbot_tpu import backend
+        try:
+            rc = main([qb_file("qset comp[0]\ncout state.dtype"),
+                       "--dtype", "c64"])
+            assert rc == 0
+            assert capsys.readouterr().out == "complex64\n"
+        finally:
+            backend.set_dtype(None)
+
+    def test_dtype_default_is_c128(self, qb_file, capsys):
+        rc = main([qb_file("qset comp[0]\ncout state.dtype")])
+        assert rc == 0
+        assert capsys.readouterr().out == "complex128\n"
+
+    def test_smc_seed_flags(self, qb_file, capsys):
+        # sampled SMC measurements: the post-measurement marginal of the
+        # entangled partner is Monte Carlo, so it must be reproducible under
+        # one seed and (with 2^-64 collision odds) differ across seeds
+        src = ("qset tensorProd(comp[0], comp[0])\n"
+               "gate hadamardGate ; 0\n"
+               "gate pauliXGate ; 1 ; 0\n"
+               "meas a ; comp ; [0]\n"
+               "meas b ; comp ; [1]\n"
+               "cout b")
+        outs = []
+        for seed in ("7", "7", "8"):
+            rc = main([qb_file(src), "--compile", "--ensemble",
+                       "--smc", "64", "--seed", seed])
+            assert rc == 0
+            outs.append(capsys.readouterr().out)
+        assert outs[0] == outs[1]
+        assert outs[0] != outs[2]
+
+    def test_mesh_flag_sharded_run(self, qb_file, capsys):
+        # 2x4 mesh on the emulated 8-device CPU backend: the qubit axis is
+        # 2^2 so --shard 2 runs under the user-chosen mesh shape
+        rc = main([qb_file(
+            "qset tensorExp(comp[0], 6)\n"
+            "gate hadamardGate ; 0\n"
+            "gate pauliXGate ; 5 ; 0\n"
+            "meas out ; comp ; [0, 5]"),
+            "--compile", "--shard", "2", "--mesh", "2x4"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        # planar executor is float32: 0.5 prints as 0.4999999…
+        assert "|0〉|0〉- 0.49" in out and "|1〉|1〉- 0.49" in out
+        assert "|0〉|1〉- 0.0" in out and "|1〉|0〉- 0.0" in out
+
+    def test_engine_config_from_args(self):
+        import argparse
+
+        from qbot_tpu.utils.config import EngineConfig
+        ns = argparse.Namespace(backend="jax", dtype="c64", seed=3,
+                                mesh="2x4", profile=True, smc=16)
+        cfg = EngineConfig.from_args(ns)
+        assert cfg.mesh_shape == (2, 4)
+        assert cfg.dtype == "c64" and cfg.seed == 3 and cfg.smc_particles == 16

@@ -179,6 +179,20 @@ class TestDiscSwap:
         want = 0.5 * rho(ONE, ZERO, ZERO) + 0.5 * rho(ZERO, ZERO, ONE)
         np.testing.assert_allclose(ns["state"], want, atol=1e-12)
 
+    def test_probval_operand_not_mutated_across_ops(self):
+        # a ProbVal<int> reused as the targets of two ops must keep its
+        # original scalar branches: operand coercion wraps branches in a
+        # COPY, never in the user's object
+        ns = executeTxt(
+            "cdef t ; ProbVal([0.5, 0.5], [0, 1])\n"
+            "qset tensorProd(comp[0], comp[1])\n"
+            "disc t\n"
+            "qset tensorProd(comp[0], comp[1])\n"
+            "disc t")
+        assert ns["t"].values == [0, 1]
+        want = 0.5 * rho(ONE) + 0.5 * rho(ZERO)
+        np.testing.assert_allclose(ns["state"], want, atol=1e-12)
+
     def test_swap_same_qubit_noop(self):
         ns = executeTxt("qset tensorProd(comp[0], comp[1])\nswap 1 ; 1")
         np.testing.assert_allclose(ns["state"], rho(ZERO, ONE), atol=1e-12)

@@ -83,7 +83,7 @@ class TestCompiler:
         kinds = [type(s).__name__ for s in plan.steps]
         assert "ContractStep" in kinds
 
-    def test_global_diag_single_pass(self):
+    def test_phase_flip_costs_zero_passes(self):
         c = Circuit(10)
         c.phase_flip(3)
         plan = compile_circuit(c, window=7)
