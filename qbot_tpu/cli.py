@@ -103,8 +103,11 @@ def main(argv=None) -> int:
                 lp = lower_program(f.read(), mid_measure=True)
             results, ens = run_lowered_ensemble(lp, sample=args.smc,
                                                 seed=args.seed)
+            from qbot_tpu.frontend.lowering import MeasSpec
+            n_meas = sum(isinstance(s, MeasSpec) for s in lp.mid_measurements)
             print(f"lowered: {lp.n} qubits, {lp.circuit.gate_count} gates, "
-                  f"{len(lp.mid_measurements)} measurements, "
+                  f"{n_meas} measurements, "
+                  f"{len(lp.mid_measurements) - n_meas} discards, "
                   f"{ens.num_particles} final particles", file=sys.stderr)
             if results and not lp.has_epilogue:
                 for name, res in results.items():

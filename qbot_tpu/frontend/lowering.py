@@ -79,6 +79,17 @@ class MeasSpec:
     at_op: int                           # circuit op index it sits before
 
 
+@dataclass(frozen=True)
+class DiscSpec:
+    """A mid-circuit ``disc``: trace the targets out; the register shrinks.
+
+    Later ops in the stream use post-discard qubit numbering (reference
+    semantics: /root/reference/qbot/operators.py:169-188).
+    """
+    targets: tuple[int, ...]
+    at_op: int
+
+
 @dataclass
 class LoweredProgram:
     circuit: Circuit
@@ -89,8 +100,12 @@ class LoweredProgram:
     namespace: dict = field(default_factory=dict)
     lines: list[str] = field(default_factory=list)
     resume_line: int = -1                   # first line after the final meas
-    # segmented (mid_measure) mode: every measurement in op-stream order
-    mid_measurements: list[MeasSpec] = field(default_factory=list)
+    # segmented (mid_measure) mode: every measurement/discard in op-stream
+    # order (a chronological list of MeasSpec | DiscSpec)
+    mid_measurements: list = field(default_factory=list)
+    # mixed-state preparation (mid_measure mode): the full initial ρ, run
+    # as its eigendecomposition ensemble (initial_kets is empty then)
+    initial_density: Optional[np.ndarray] = None
 
     @property
     def n(self) -> int:
@@ -147,10 +162,12 @@ def lower_program(text: str, mid_measure: bool = False) -> LoweredProgram:
 
     circuit: Optional[Circuit] = None
     initial_kets: list[np.ndarray] = []
+    initial_density: Optional[np.ndarray] = None
     measured: Optional[tuple] = None
-    mid_specs: list[MeasSpec] = []
+    mid_specs: list = []
     resume_line = -1
-    n = 0
+    n = 0          # initial register width
+    cur_n = 0      # current width (shrinks at disc in mid_measure mode)
 
     line_num = -1
     while line_num < len(lines) - 1:
@@ -175,8 +192,28 @@ def lower_program(text: str, mid_measure: bool = False) -> LoweredProgram:
             val = evaluate_expr(lines, line_num, tokens[1], ns)
             if len(tokens) > 2:
                 raise _unsupported(lines, line_num, "targeted qset")
-            initial_kets = _as_product_kets(lines, line_num, val)
-            n = sum(int_log2(k.shape[0]) for k in initial_kets)
+            if mid_measure:
+                # the ensemble executor preps ANY ρ (ProbVal branches fold
+                # to a mixture, mixed states run as their eigenensemble)
+                if isinstance(val, ProbVal):
+                    try:
+                        val = val.to_density_matrix()
+                    except Exception:
+                        raise _unsupported(lines, line_num,
+                                           "ProbVal state preparation") \
+                            from None
+                try:
+                    initial_kets = _as_product_kets(lines, line_num, val)
+                except LoweringError:
+                    arr = np.asarray(val, complex)
+                    initial_kets = []
+                    initial_density = arr
+                    n = cur_n = int_log2(arr.shape[0])
+                    circuit = Circuit(n)
+                    continue
+            else:
+                initial_kets = _as_product_kets(lines, line_num, val)
+            n = cur_n = sum(int_log2(k.shape[0]) for k in initial_kets)
             circuit = Circuit(n)
             continue
 
@@ -208,8 +245,9 @@ def lower_program(text: str, mid_measure: bool = False) -> LoweredProgram:
             k = int_log2(g.shape[0])
             targets = list(range(int(first), int(first) + k))
             for q in targets + list(controls):
-                if q < 0 or q >= n:
-                    raise err.index_error(lines, line_num, "target", q, n - 1)
+                if q < 0 or q >= cur_n:
+                    raise err.index_error(lines, line_num, "target", q,
+                                          cur_n - 1)
             circuit.gate(g, targets, list(controls))
             continue
 
@@ -231,7 +269,7 @@ def lower_program(text: str, mid_measure: bool = False) -> LoweredProgram:
             if not isinstance(basis, Basis):
                 raise err.type_error(lines, line_num, ["Basis"],
                                      type(basis).__name__)
-            targets = list(range(n))
+            targets = list(range(cur_n))
             if len(tokens) > 3:
                 targets = ops._ensure_container(
                     lines, line_num,
@@ -252,7 +290,23 @@ def lower_program(text: str, mid_measure: bool = False) -> LoweredProgram:
             break
 
         if op_name == "disc":
-            raise _unsupported(lines, line_num, "disc (non-unitary)")
+            if not mid_measure:
+                raise _unsupported(lines, line_num, "disc (non-unitary)")
+            if circuit is None:
+                raise _unsupported(lines, line_num, "disc before qset")
+            targets = ops._ensure_container(
+                lines, line_num,
+                evaluate_expr(lines, line_num, tokens[1], ns))
+            if isinstance(targets, ProbVal):
+                raise _unsupported(lines, line_num, "ProbVal disc targets")
+            targets = sorted(set(int(q) for q in targets))
+            for q in targets:
+                if q < 0 or q >= cur_n:
+                    raise err.index_error(lines, line_num, "target", q,
+                                          cur_n - 1)
+            mid_specs.append(DiscSpec(tuple(targets), len(circuit.ops)))
+            cur_n -= len(targets)
+            continue
 
         # classical ops run normally (control flow unrolls)
         op, _, _ = ops.OPERATIONS[op_name]
@@ -286,7 +340,8 @@ def lower_program(text: str, mid_measure: bool = False) -> LoweredProgram:
         circuit = Circuit(0)
     lp = LoweredProgram(circuit, initial_kets, namespace=ns, lines=lines,
                         resume_line=resume_line,
-                        mid_measurements=mid_specs)
+                        mid_measurements=mid_specs,
+                        initial_density=initial_density)
     if measured is not None:
         lp.measure_basis, lp.measure_targets = measured[0], measured[1]
         lp.measure_name = measured[2]
@@ -369,7 +424,10 @@ def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
     from qbot_tpu.inference.ensemble_exec import (
         QuantumEnsemble,
         apply_plan_ensemble,
+        discard_fanout,
+        discard_sample,
         init_ensemble,
+        init_mixed_ensemble,
         measure_fanout,
         measure_sample,
         peek_probs,
@@ -377,24 +435,27 @@ def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
     from qbot_tpu.tpu.compiler import compile_circuit
     from qbot_tpu.tpu.planar import to_planar
 
-    psi0 = np.array([1.0 + 0j])
-    for ket in lp.initial_kets:
-        psi0 = np.kron(psi0, ket)
-    psi0 = psi0 / np.linalg.norm(psi0)
-    planar0 = jnp.asarray(to_planar(psi0))
-    if sample:
-        ens = QuantumEnsemble(jnp.zeros((sample,)),
-                              jnp.repeat(planar0[None], sample, axis=0))
-        key = jax.random.PRNGKey(seed)
+    if lp.initial_density is not None:
+        ens = init_mixed_ensemble(lp.initial_density)
     else:
-        ens = init_ensemble(planar0)
+        psi0 = np.array([1.0 + 0j])
+        for ket in lp.initial_kets:
+            psi0 = np.kron(psi0, ket)
+        psi0 = psi0 / np.linalg.norm(psi0)
+        ens = init_ensemble(jnp.asarray(to_planar(psi0)))
+    if sample:
+        reps = max(1, sample // ens.num_particles)
+        ens = QuantumEnsemble(
+            jnp.repeat(ens.log_w, reps) - np.log(reps),
+            jnp.repeat(ens.psi, reps, axis=0))
+        key = jax.random.PRNGKey(seed)
 
     all_ops = list(lp.circuit.ops)
-    n = lp.n
+    cur_n = lp.n
     prev = 0
     results: dict[str, object] = {}
 
-    def run_segment(ens, ops):
+    def run_segment(ens, ops, n):
         if not ops:
             return ens
         seg = Circuit(n)
@@ -403,26 +464,36 @@ def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
         return apply_plan_ensemble(ens, compile_circuit(seg, window=window))
 
     for spec in lp.mid_measurements:
-        ens = run_segment(ens, all_ops[prev:spec.at_op])
+        ens = run_segment(ens, all_ops[prev:spec.at_op], cur_n)
         prev = spec.at_op
         targets = sorted(spec.targets)
-        rot, inv = _basis_rotation_plans(spec.basis, list(targets), n, window)
+        if isinstance(spec, DiscSpec):
+            if sample:
+                key, sub = jax.random.split(key)
+                ens = discard_sample(sub, ens, cur_n, targets)
+            else:
+                ens = discard_fanout(ens, cur_n, targets, max_particles)
+            cur_n -= len(targets)
+            continue
+        rot, inv = _basis_rotation_plans(spec.basis, list(targets), cur_n,
+                                         window)
         if spec.collapse:
             ens_m = apply_plan_ensemble(ens, rot) if rot else ens
             if sample:
                 key, sub = jax.random.split(key)
-                ens_m, dist, _ = measure_sample(sub, ens_m, n, targets)
+                ens_m, dist, _ = measure_sample(sub, ens_m, cur_n, targets)
             else:
-                ens_m, dist = measure_fanout(ens_m, n, targets, max_particles,
+                ens_m, dist = measure_fanout(ens_m, cur_n, targets,
+                                             max_particles,
                                              mode=collapse_mode)
             ens = apply_plan_ensemble(ens_m, inv) if inv else ens_m
         else:
             ens_m = apply_plan_ensemble(ens, rot) if rot else ens
-            dist = peek_probs(ens_m, n, targets)
+            dist = peek_probs(ens_m, cur_n, targets)
         results[spec.name] = _make_result(spec.basis, targets,
                                           np.asarray(dist))
 
-    ens = run_segment(ens, all_ops[prev:])
+    ens = run_segment(ens, all_ops[prev:], cur_n)
     for name, res in results.items():
         lp.namespace[name] = res
     _run_epilogue(lp)

@@ -31,8 +31,9 @@ import jax.numpy as jnp
 
 from qbot_tpu.tpu.compiler import Plan
 
-__all__ = ["QuantumEnsemble", "init_ensemble", "apply_plan_ensemble",
-           "measure_fanout", "measure_sample", "peek_probs",
+__all__ = ["QuantumEnsemble", "init_ensemble", "init_mixed_ensemble",
+           "apply_plan_ensemble", "measure_fanout", "measure_sample",
+           "discard_fanout", "discard_sample", "peek_probs",
            "ensemble_mixture", "MAX_PARTICLES"]
 
 MAX_PARTICLES = 256
@@ -56,6 +57,25 @@ class QuantumEnsemble(NamedTuple):
 def init_ensemble(psi0: jax.Array) -> QuantumEnsemble:
     """Single-particle ensemble from a planar (2, 2^n) state."""
     return QuantumEnsemble(jnp.zeros((1,)), psi0[None])
+
+
+def init_mixed_ensemble(rho: np.ndarray, tol: float = 1e-12
+                        ) -> QuantumEnsemble:
+    """Ensemble from a (possibly mixed) density matrix: its eigenensemble.
+
+    ρ = Σ λᵢ|vᵢ⟩⟨vᵢ| becomes one particle per λᵢ > tol — mixed-state
+    *preparation* at scale (the reference preps any ρ via qdef/qset,
+    /root/reference/qbot/operators.py:133-166; the particle mixture keeps
+    memory at B·2^n instead of 4^n).
+    """
+    rho = np.asarray(rho, complex)
+    vals, vecs = np.linalg.eigh(rho)
+    keep = vals > tol
+    vals, vecs = vals[keep], vecs[:, keep]
+    psi = np.stack([np.stack([vecs[:, i].real, vecs[:, i].imag])
+                    for i in range(vals.shape[0])]).astype(np.float32)
+    return QuantumEnsemble(jnp.log(jnp.asarray(vals / vals.sum())),
+                           jnp.asarray(psi))
 
 
 def apply_plan_ensemble(ens: QuantumEnsemble, plan: Plan,
@@ -165,6 +185,88 @@ def measure_fanout(ens: QuantumEnsemble, n: int, targets: Sequence[int],
         log_w = top_w
     log_w = log_w - jax.scipy.special.logsumexp(log_w)
     return QuantumEnsemble(log_w, psi), dist
+
+
+def _discard_split(psi, n: int, targets: Sequence[int]):
+    """(2, 2^n) → per-outcome probs (K,) and SHRUNK states (K, 2, 2^{n-t}).
+
+    Tracing out ``targets`` of a pure state: Tr_A |ψ⟩⟨ψ| = Σ_a p_a
+    |φ_a⟩⟨φ_a| with φ_a = ⟨a|ψ⟩/√p_a — the discarded axes are consumed,
+    so the returned states live on the remaining n−t qubits.
+    """
+    targets = sorted(targets)
+    t = len(targets)
+    K = 2**t
+    pt = psi.reshape((2,) + (2,) * n)
+    pt = jnp.moveaxis(pt, [1 + q for q in targets], list(range(1, 1 + t)))
+    pt = pt.reshape(2, K, -1)                     # (2, K, rest)
+    p = jnp.sum(pt**2, axis=(0, 2))               # (K,)
+    norm = jnp.sqrt(jnp.clip(p, _MIN_P))[None, :, None]
+    states = jnp.moveaxis(pt / norm, 1, 0)        # (K, 2, 2^{n-t})
+    return p, states
+
+
+def discard_fanout(ens: QuantumEnsemble, n: int, targets: Sequence[int],
+                   max_particles: int = MAX_PARTICLES
+                   ) -> QuantumEnsemble:
+    """``disc`` at scale: partial-trace the targets out of the mixture.
+
+    Device twin of the reference's partial trace
+    (/root/reference/qbot/operators.py:169-188, density.py:122-148): each
+    particle fans out over the discarded subsystem's basis states, the axes
+    are dropped, and the heaviest ``max_particles`` branches are kept —
+    Σ w|ψ⟩⟨ψ| equals Tr_A of the pre-discard mixture exactly (up to the
+    prune).  The register shrinks by len(targets) qubits.
+    """
+    B = ens.num_particles
+    K = 2 ** len(targets)
+    p_all, states = jax.vmap(
+        lambda s: _discard_split(s, n, targets))(ens.psi)  # (B,K), (B,K,2,·)
+    logp = jnp.log(jnp.clip(p_all, _MIN_P))
+    log_w = (ens.log_w[:, None] + logp).reshape(B * K)
+    psi = states.reshape((B * K, 2) + states.shape[3:])
+    total = psi.shape[0]
+    keep = min(max_particles, total)
+    if keep < total:
+        top_w, idx = jax.lax.top_k(log_w, keep)
+        psi = psi[idx]
+        log_w = top_w
+    log_w = log_w - jax.scipy.special.logsumexp(log_w)
+    return QuantumEnsemble(log_w, psi)
+
+
+def discard_sample(key: jax.Array, ens: QuantumEnsemble, n: int,
+                   targets: Sequence[int], ess_threshold: float = 0.5
+                   ) -> QuantumEnsemble:
+    """SMC-mode ``disc``: sample ONE traced-out basis state per particle
+    (optimal Born proposal, constant particle count), dropping the axes."""
+    from qbot_tpu.inference.smc import (
+        Ensemble as WEnsemble,
+        effective_sample_size,
+        systematic_resample,
+    )
+
+    B = ens.num_particles
+    p_all, states = jax.vmap(
+        lambda s: _discard_split(s, n, targets))(ens.psi)
+    key_o, key_r = jax.random.split(key)
+    outcomes = jax.random.categorical(
+        key_o, jnp.log(jnp.clip(p_all, _MIN_P)), axis=-1)
+    psi = jnp.take_along_axis(
+        states, outcomes[:, None, None, None], axis=1)[:, 0]
+    new = QuantumEnsemble(ens.log_w, psi)
+    ess = effective_sample_size(new.log_w)
+
+    def do_resample(_):
+        r = systematic_resample(key_r, WEnsemble(new.log_w, new.psi))
+        return r.log_weights, r.values
+
+    def skip(_):
+        return new.log_w, new.psi
+
+    log_w, psi = jax.lax.cond(ess < ess_threshold * B, do_resample, skip,
+                              None)
+    return QuantumEnsemble(log_w, psi)
 
 
 def measure_sample(key: jax.Array, ens: QuantumEnsemble, n: int,

@@ -231,3 +231,92 @@ class TestCollapseModes:
         # and the reference-mode result matches the dense interpreter
         dense = executeTxt("qset bell[0]\nmeas x ; comp ; 0")
         np.testing.assert_allclose(rho_r, dense["state"], atol=1e-6)
+
+
+class TestDiscAndMixedPrep:
+    def test_disc_matches_dense_interpreter(self):
+        # trace-out on the device ensemble path: Σ w|ψ⟩⟨ψ| must equal the
+        # dense interpreter's partial trace (reference operators.py:169-188)
+        src = ("qset tensorProd(comp[0], comp[0], comp[0])\n"
+               "gate hadamardGate ; 0\n"
+               "gate pauliXGate ; 1 ; [0]\n"
+               "gate hadamardGate ; 2\n"
+               "disc 1")
+        dense, _, ens, lp = _run_both(src)
+        np.testing.assert_allclose(ensemble_mixture(ens), dense["state"],
+                                   atol=1e-5)
+        assert ens.psi.shape[-1] == 4          # register shrank 3 → 2 qubits
+
+    def test_disc_then_more_gates_and_meas(self):
+        # post-discard ops use the SHRUNK register numbering, like the dense
+        # interpreter
+        src = ("qset tensorProd(comp[0], comp[0], comp[0])\n"
+               "gate hadamardGate ; 0\n"
+               "gate pauliXGate ; 2 ; [0]\n"
+               "disc [1]\n"
+               "gate hadamardGate ; 1\n"
+               "meas a ; computation ; [1]")
+        dense, results, ens, _ = _run_both(src)
+        np.testing.assert_allclose(results["a"].probs, dense["a"].probs,
+                                   atol=1e-6)
+        np.testing.assert_allclose(ensemble_mixture(ens), dense["state"],
+                                   atol=1e-5)
+
+    def test_mixed_state_prep(self):
+        # a ProbVal over product states folds to a mixed ρ; the ensemble
+        # preps it as its eigendecomposition (SURVEY.md §7 decision 2)
+        src = ("qset ProbVal([0.25, 0.75], "
+               "[tensorProd(comp[0], comp[0]), tensorProd(comp[1], comp[1])])\n"
+               "gate hadamardGate ; 0\n"
+               "meas a ; computation ; [0]")
+        dense, results, ens, lp = _run_both(src)
+        assert lp.initial_density is not None
+        np.testing.assert_allclose(results["a"].probs, dense["a"].probs,
+                                   atol=1e-6)
+        np.testing.assert_allclose(ensemble_mixture(ens), dense["state"],
+                                   atol=1e-5)
+
+    def test_mixed_prep_disc_and_midmeas_12q(self):
+        # the VERDICT done-criterion: a 12-qubit program mixing mixed-state
+        # prep, disc and mid-circuit meas matches executeTxt exactly
+        src = ("qset tensorProd("
+               "ProbVal([0.5, 0.5], [comp[0], comp[1]]), "
+               "tensorExp(comp[0], 11))\n"
+               "gate hadamardGate ; 1\n"
+               "gate pauliXGate ; 6 ; [1]\n"
+               "gate hadamardGate ; 11\n"
+               "meas a ; computation ; [6]\n"
+               "disc [1, 11]\n"
+               "gate hadamardGate ; 0\n"
+               "meas b ; computation ; [0, 5]")
+        dense, results, ens, lp = _run_both(src)
+        assert any(type(s).__name__ == "DiscSpec"
+                   for s in lp.mid_measurements)
+        np.testing.assert_allclose(results["a"].probs, dense["a"].probs,
+                                   atol=1e-6)
+        np.testing.assert_allclose(results["b"].probs, dense["b"].probs,
+                                   atol=1e-6)
+        np.testing.assert_allclose(ensemble_mixture(ens), dense["state"],
+                                   atol=2e-5)
+
+    def test_disc_sampled_mode_register_shrinks(self):
+        src = ("qset tensorProd(comp[0], comp[0])\n"
+               "gate hadamardGate ; 0\n"
+               "gate pauliXGate ; 1 ; [0]\n"
+               "disc 0")
+        from qbot_tpu.frontend.lowering import lower_program
+        lp = lower_program(src, mid_measure=True)
+        _, ens = run_lowered_ensemble(lp, sample=32, seed=1)
+        assert ens.num_particles == 32
+        assert ens.psi.shape[-1] == 2
+        # bell-pair partner: Tr_0 ρ = I/2
+        mix = ensemble_mixture(ens)
+        assert abs(mix[0, 0] + mix[1, 1] - 1.0) < 1e-5
+
+    def test_disc_rejected_in_default_mode(self):
+        import pytest as _pytest
+        src = ("qset tensorProd(comp[0], comp[0])\n"
+               "disc 0\n"
+               "meas a ; computation")
+        with _pytest.raises(LoweringError):
+            lower_program(src)
