@@ -94,25 +94,32 @@ def main(argv=None) -> int:
 
     try:
         if args.compile_mode and args.ensemble:
-            # mid-circuit measurements on the device ensemble engine
-            from qbot_tpu.frontend.lowering import (
-                lower_program,
-                run_lowered_ensemble,
+            # the device ensemble runner: quantum registers live on the
+            # device particle axis; ProbVal control flow forks host-side
+            # particles that SHARE device arrays; mid-circuit meas/disc fan
+            # (or, with --smc, sample) device particles
+            from qbot_tpu.frontend.device_ensemble import (
+                execute_lines_device_ensemble,
             )
+            from qbot_tpu.frontend.interpreter import peek_opcode
+            from qbot_tpu.ops.measurement import MeasurementResult
+
             with open(path, "r") as f:
-                lp = lower_program(f.read(), mid_measure=True)
-            results, ens = run_lowered_ensemble(lp, sample=args.smc,
-                                                seed=args.seed)
-            from qbot_tpu.frontend.lowering import MeasSpec
-            n_meas = sum(isinstance(s, MeasSpec) for s in lp.mid_measurements)
-            print(f"lowered: {lp.n} qubits, {lp.circuit.gate_count} gates, "
-                  f"{n_meas} measurements, "
-                  f"{len(lp.mid_measurements) - n_meas} discards, "
-                  f"{ens.num_particles} final particles", file=sys.stderr)
-            if results and not lp.has_epilogue:
-                for name, res in results.items():
-                    print(f"{name}:")
-                    print(res, end="")
+                lines = f.read().splitlines()
+            res, particles = execute_lines_device_ensemble(
+                lines, sample=args.smc, seed=args.seed)
+            n_dev = sum(p.qreg.num_particles for p in particles
+                        if p.qreg is not None)
+            print(f"device ensemble: {len(particles)} branches, "
+                  f"{n_dev} device particles", file=sys.stderr)
+            # programs that print their own output did so during execution;
+            # otherwise show every bound measurement result
+            if not any(peek_opcode(l) == "cout" for l in lines):
+                for name, val in res.namespace.items():
+                    if not name.startswith("__") and isinstance(
+                            val, MeasurementResult):
+                        print(f"{name}:")
+                        print(val, end="")
             return 0
         if args.compile_mode:
             from qbot_tpu.frontend.lowering import lower_program, run_lowered

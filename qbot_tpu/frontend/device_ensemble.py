@@ -1,0 +1,450 @@
+"""Probabilistic control flow ON the device particle axis.
+
+:mod:`qbot_tpu.frontend.ensemble` runs ProbVal-conditioned control flow with
+host-side dense density matrices; this module is its device twin — the
+bridge SURVEY.md §7 decision 2 calls for: the *classical* side of a particle
+(namespace, program counter, weight) stays host-side Python, while its
+*quantum* register is a :class:`~qbot_tpu.inference.ensemble_exec.QuantumEnsemble`
+— a weighted batch of planar pure states living on the device.  A
+ProbVal-conditioned ``cjmp``/``halt``/``retr`` forks the host particle; the
+forked branches SHARE the device arrays (immutable), so a fork costs zero
+device work.  ProbVal-valued *operands* (gate, targets, controls,
+conditional) fan out on the device particle axis instead of mixing a dense
+ρ (reference fan-out: /root/reference/qbot/probVal.py:347-390 through
+operators.py:308).
+
+Supported surface: everything the host ensemble runner supports except
+targeted ``qset`` (replace-subset needs the dense engine).  ``meas``/``disc``
+fan or sample device particles exactly like the lowered mid-measurement
+path; a final merge mixes each branch's ensemble to a density matrix and
+reuses the host runner's namespace merge, so ``executeTxtEnsemble`` and
+this runner return THE SAME merged namespace (differentially tested).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+import qbot_tpu.errors as err
+from qbot_tpu.basis import Basis
+from qbot_tpu.frontend import operations as ops
+from qbot_tpu.frontend.ensemble import (
+    MAX_PARTICLES,
+    EnsembleResult,
+    _clone_ns,
+    _merge_particles,
+    _truth_probability,
+)
+from qbot_tpu.frontend.evaluation import evaluate_expr
+from qbot_tpu.frontend.interpreter import record_marks, tokenize_line
+from qbot_tpu.helpers import int_log2
+from qbot_tpu.probval import ProbVal
+
+__all__ = ["execute_lines_device_ensemble", "executeTxtDeviceEnsemble"]
+
+_QUANTUM_OPS = ("qset", "gate", "swap", "disc", "meas", "peek")
+
+
+@dataclass
+class _DeviceParticle:
+    prob: float
+    ns: dict
+    line: int
+    qreg: Optional[object] = None        # QuantumEnsemble | None
+    n: int = 0                           # current register width
+    done: bool = False
+
+
+class _Engine:
+    """Per-run device engine state (lazy imports, PRNG key, knobs)."""
+
+    def __init__(self, max_particles: int, window: int, collapse_mode: str,
+                 sample: int, seed: int):
+        import jax
+
+        from qbot_tpu.inference import ensemble_exec as ee
+        from qbot_tpu.tpu import compiler, planar
+
+        self.ee = ee
+        self.compiler = compiler
+        self.planar = planar
+        self.jax = jax
+        self.max_particles = max_particles
+        self.window = window
+        self.collapse_mode = collapse_mode
+        self.sample = sample
+        self.key = jax.random.PRNGKey(seed)
+
+    def next_key(self):
+        self.key, sub = self.jax.random.split(self.key)
+        return sub
+
+    def apply_circuit(self, qreg, circ):
+        plan = self.compiler.compile_circuit(circ, window=self.window)
+        return self.ee.apply_plan_ensemble(qreg, plan)
+
+    def one_gate(self, qreg, n, matrix, targets, controls):
+        from qbot_tpu.tpu.circuit import Circuit
+
+        circ = Circuit(n)
+        circ.gate(np.asarray(matrix, complex), list(targets), list(controls))
+        return self.apply_circuit(qreg, circ)
+
+    def concat(self, weighted):
+        """Weight-concatenate [(p, QuantumEnsemble)] into one ensemble."""
+        import jax.numpy as jnp
+
+        log_w = jnp.concatenate(
+            [q.log_w + float(np.log(p)) for p, q in weighted])
+        psi = jnp.concatenate([q.psi for _, q in weighted])
+        return self.prune(self.ee.QuantumEnsemble(log_w, psi))
+
+    def prune(self, qreg):
+        import jax.numpy as jnp
+
+        from qbot_tpu.inference.ensemble_exec import QuantumEnsemble
+        total = qreg.num_particles
+        if total <= self.max_particles:
+            return qreg
+        top_w, idx = self.jax.lax.top_k(qreg.log_w, self.max_particles)
+        log_w = top_w - self.jax.scipy.special.logsumexp(top_w)
+        return QuantumEnsemble(log_w, qreg.psi[idx])
+
+
+def _to_density_host(lines, line_num, val):
+    if isinstance(val, ProbVal):
+        try:
+            return val.to_density_matrix()
+        except Exception:
+            raise err.type_error(lines, line_num,
+                                 ["np.ndarray", "ProbVal<np.ndarray>"],
+                                 val.type_string()) from None
+    arr = np.asarray(val)
+    if arr.ndim == 1:
+        return np.outer(arr, arr.conj())
+    return arr
+
+
+def _fanout_args(lines, line_num, *vals):
+    """Cartesian branches [(prob, concrete_vals)] of possibly-ProbVal vals."""
+    branches = [(1.0, [])]
+    for v in vals:
+        if isinstance(v, ProbVal):
+            branches = [(p * bp, acc + [bv])
+                        for p, acc in branches
+                        for bp, bv in zip(v.probs, v.values)]
+        else:
+            branches = [(p, acc + [v]) for p, acc in branches]
+    return branches
+
+
+def _exec_quantum(engine: _Engine, particle: _DeviceParticle, lines,
+                  line_num, tokens) -> None:
+    """Run one quantum op against the particle's device register."""
+    from qbot_tpu.frontend.lowering import (
+        _basis_rotation_plans,
+        _make_result,
+    )
+    from qbot_tpu.tpu.planar import to_planar
+
+    ns = particle.ns
+    op_name = tokens[0]
+    ee = engine.ee
+
+    if op_name == "qset":
+        if len(tokens) > 2:
+            raise err.QbotScriptError(err.format_script_error(
+                lines, line_num, "DeviceEnsembleError",
+                "targeted qset needs the dense engine - run without "
+                "--compile"), line_num, "DeviceEnsembleError")
+        val = evaluate_expr(lines, line_num, tokens[1], ns)
+        rho = _to_density_host(lines, line_num, val)
+        particle.n = int_log2(rho.shape[0])
+        import jax.numpy as jnp
+        vals, vecs = np.linalg.eigh(rho)
+        if np.isclose(vals[-1], np.trace(rho).real, atol=1e-9):
+            # pure state: a single particle, no mixture
+            particle.qreg = ee.init_ensemble(
+                jnp.asarray(to_planar(vecs[:, -1])))
+        else:
+            particle.qreg = ee.init_mixed_ensemble(rho)
+        if engine.sample:
+            # SMC regime: replicate to the fixed population up front
+            q = particle.qreg
+            reps = max(1, engine.sample // q.num_particles)
+            particle.qreg = ee.QuantumEnsemble(
+                jnp.repeat(q.log_w, reps) - float(np.log(reps)),
+                jnp.repeat(q.psi, reps, axis=0))
+        ns["__is_q_state"] = True
+        ns["__updated_state"] = True
+        return
+
+    if particle.qreg is None:
+        raise err.QbotScriptError(err.format_script_error(
+            lines, line_num, "DeviceEnsembleError",
+            f"{op_name} before qset"), line_num, "DeviceEnsembleError")
+    n = particle.n
+
+    if op_name == "gate":
+        g = evaluate_expr(lines, line_num, tokens[1], ns)
+        first = (evaluate_expr(lines, line_num, tokens[2], ns)
+                 if len(tokens) > 2 else 0)
+        ops._check_probval_type(lines, line_num, first, ops._INT_TYPES)
+        controls = (ops._ensure_container(
+            lines, line_num, evaluate_expr(lines, line_num, tokens[3], ns))
+            if len(tokens) > 3 else [])
+        cond = (evaluate_expr(lines, line_num, tokens[4], ns)
+                if len(tokens) > 4 else True)
+        ops._check_probval_type(lines, line_num, cond, bool)
+        if not isinstance(cond, ProbVal) and not cond:
+            return
+
+        weighted = []
+        for p, (gv, fv, cv) in _fanout_args(lines, line_num, g, first,
+                                            controls):
+            gm = np.asarray(gv)
+            k = int_log2(gm.shape[0])
+            last = int(fv) + k - 1
+            if fv < 0 or last > n - 1:
+                raise err.index_error(lines, line_num, "target", int(fv),
+                                      n - k)
+            ctrls = list(cv)
+            for c in ctrls:
+                if c < 0 or c > n - 1:
+                    raise err.index_error(lines, line_num, "control", c,
+                                          n - 1)
+                if fv <= c <= last:
+                    raise err.control_target_overlap(lines, line_num, c,
+                                                     int(fv), last)
+            applied = engine.one_gate(particle.qreg, n, gm,
+                                      range(int(fv), int(fv) + k), ctrls)
+            weighted.append((p, applied))
+        mixed = (weighted[0][1] if len(weighted) == 1
+                 else engine.concat(weighted))
+        if isinstance(cond, ProbVal):
+            p_true, p_false = _truth_probability(cond, lines, line_num)
+            # reference semantics: a ProbVal conditional MIXES applied and
+            # unapplied states (operators.py:323-327) — on the particle
+            # axis that is a weight-concat, not a host fork
+            mixed = engine.concat([(max(p_true, 1e-300), mixed),
+                                   (max(p_false, 1e-300), particle.qreg)])
+        particle.qreg = mixed
+        return
+
+    if op_name == "swap":
+        a = evaluate_expr(lines, line_num, tokens[1], ns)
+        b = evaluate_expr(lines, line_num, tokens[2], ns)
+        ops._check_probval_type(lines, line_num, a, ops._INT_TYPES)
+        ops._check_probval_type(lines, line_num, b, ops._INT_TYPES)
+        SWAP2 = np.array([[1, 0, 0, 0], [0, 0, 1, 0],
+                          [0, 1, 0, 0], [0, 0, 0, 1]], dtype=complex)
+        weighted = []
+        for p, (av, bv) in _fanout_args(lines, line_num, a, b):
+            for q in (av, bv):
+                if q < 0 or q >= n:
+                    raise err.index_error(lines, line_num, "target", int(q),
+                                          n - 1)
+            if av == bv:
+                weighted.append((p, particle.qreg))
+            else:
+                weighted.append((p, engine.one_gate(
+                    particle.qreg, n, SWAP2, [int(av), int(bv)], [])))
+        particle.qreg = (weighted[0][1] if len(weighted) == 1
+                         else engine.concat(weighted))
+        return
+
+    if op_name == "disc":
+        targets = ops._ensure_container(
+            lines, line_num, evaluate_expr(lines, line_num, tokens[1], ns))
+        if isinstance(targets, ProbVal):
+            raise err.type_error(lines, line_num, ["list<int>"],
+                                 targets.type_string())
+        targets = sorted(set(int(q) for q in targets))
+        ops._check_targets_in_range(lines, line_num, targets, n)
+        if engine.sample:
+            particle.qreg = engine.ee.discard_sample(
+                engine.next_key(), particle.qreg, n, targets)
+        else:
+            particle.qreg = engine.ee.discard_fanout(
+                particle.qreg, n, targets, engine.max_particles)
+        particle.n = n - len(targets)
+        return
+
+    # meas / peek
+    name = tokens[1]
+    if not name.isidentifier():
+        raise err.invalid_variable_name(lines, line_num, name)
+    basis = evaluate_expr(lines, line_num, tokens[2], ns)
+    if not isinstance(basis, Basis):
+        raise err.type_error(lines, line_num, ["Basis"],
+                             type(basis).__name__)
+    targets = sorted(range(n)) if len(tokens) < 4 else sorted(set(
+        int(q) for q in ops._ensure_container(
+            lines, line_num,
+            evaluate_expr(lines, line_num, tokens[3], ns))))
+    ops._check_targets_in_range(lines, line_num, targets, n)
+    rot, inv = _basis_rotation_plans(basis, list(targets), n, engine.window)
+    qreg = particle.qreg
+    if rot is not None:
+        qreg = engine.ee.apply_plan_ensemble(qreg, rot)
+    if op_name == "meas":
+        if engine.sample:
+            qreg, dist, _ = engine.ee.measure_sample(
+                engine.next_key(), qreg, n, targets)
+        else:
+            qreg, dist = engine.ee.measure_fanout(
+                qreg, n, targets, engine.max_particles,
+                mode=engine.collapse_mode)
+        if inv is not None:
+            qreg = engine.ee.apply_plan_ensemble(qreg, inv)
+        particle.qreg = qreg
+    else:
+        dist = engine.ee.peek_probs(qreg, n, targets)
+    ns[name] = _make_result(basis, targets, np.asarray(dist))
+
+
+def _step_device_particle(engine: _Engine, particle: _DeviceParticle,
+                          lines) -> list[_DeviceParticle]:
+    """Run until halt/split/end; mirrors ensemble._step_particle with the
+    quantum ops routed to the device engine."""
+    ns = particle.ns
+    line_num = particle.line - 1
+    while line_num < len(lines) - 1:
+        line_num += 1
+        tokens = tokenize_line(lines[line_num])
+        if not tokens:
+            continue
+        op_name = tokens[0]
+        if op_name in ("note", "mark"):
+            continue
+        try:
+            op, min_args, max_args = ops.OPERATIONS[op_name]
+        except KeyError:
+            raise err.unknown_operation(lines, line_num, op_name) from None
+        num_args = len(tokens) - 1
+        if num_args < min_args or num_args > max_args:
+            raise err.num_arguments_error(lines, line_num, op_name, num_args,
+                                          min_args, max_args)
+
+        if op_name in _QUANTUM_OPS:
+            _exec_quantum(engine, particle, lines, line_num, tokens)
+            continue
+
+        if op_name in ("cjmp", "halt", "retr"):
+            has_cond = num_args >= (2 if op_name == "cjmp" else 1)
+            cond = True
+            if has_cond:
+                cond_token = tokens[2] if op_name == "cjmp" else tokens[1]
+                cond = evaluate_expr(lines, line_num, cond_token, ns)
+            if isinstance(cond, ProbVal):
+                p_true, p_false = _truth_probability(cond, lines, line_num)
+                children = []
+
+                def _spawn(prob, target_line, clone, done=False,
+                           prev_jump=None):
+                    child_ns = _clone_ns(ns) if clone else ns
+                    if prev_jump is not None:
+                        child_ns["__prev_jump"] = prev_jump
+                    # the device register is immutable: children share it
+                    children.append(_DeviceParticle(
+                        particle.prob * prob, child_ns, target_line,
+                        particle.qreg, particle.n, done))
+
+                if op_name == "cjmp":
+                    taken = ops._mark_line(ns, lines, line_num, tokens[1])
+                    if p_true > 0:
+                        _spawn(p_true, taken, clone=p_false > 0,
+                               prev_jump=line_num)
+                    if p_false > 0:
+                        _spawn(p_false, line_num + 1, clone=False)
+                elif op_name == "halt":
+                    if p_true > 0:
+                        _spawn(p_true, line_num + 1, clone=p_false > 0,
+                               done=True)
+                    if p_false > 0:
+                        _spawn(p_false, line_num + 1, clone=False)
+                else:  # retr
+                    if p_true > 0:
+                        _spawn(p_true, ns["__prev_jump"] + 1,
+                               clone=p_false > 0)
+                    if p_false > 0:
+                        _spawn(p_false, line_num + 1, clone=False)
+                return children
+            if not isinstance(cond, bool):
+                raise err.type_error(lines, line_num, ["bool"],
+                                     type(cond).__name__)
+            if op_name == "cjmp":
+                target = ops._mark_line(ns, lines, line_num, tokens[1])
+                if cond:
+                    ns["__prev_jump"] = line_num
+                    line_num = target - 1
+                continue
+            if op_name == "halt":
+                if cond:
+                    break
+                continue
+            if cond:                     # retr
+                line_num = ns["__prev_jump"]
+            continue
+
+        result = op(ns, lines, line_num, tokens)
+        if result is None:
+            continue
+        if result.halt:
+            break
+        if result.jump_line is not None:
+            line_num = result.jump_line - 1
+
+    particle.done = True
+    return [particle]
+
+
+def execute_lines_device_ensemble(lines: list[str],
+                                  max_particles: int = MAX_PARTICLES,
+                                  window: int = 7,
+                                  collapse_mode: str = "reference",
+                                  sample: int = 0,
+                                  seed: int = 0):
+    """Run a program with probabilistic control flow on the device engine.
+
+    Returns (EnsembleResult, finished _DeviceParticles).  The merged
+    namespace binds ``state`` to the branch-weighted mixture — identical to
+    :func:`qbot_tpu.frontend.ensemble.execute_lines_ensemble`'s contract —
+    while the per-branch device ensembles stay available on the particles.
+    """
+    engine = _Engine(max_particles, window, collapse_mode, sample, seed)
+    ns = {"state": None, "__updated_state": False, "__marks": {},
+          "__prev_jump": -1}
+    record_marks(ns, lines)
+
+    live = [_DeviceParticle(1.0, ns, 0)]
+    finished: list[_DeviceParticle] = []
+    while live:
+        particle = live.pop()
+        for c in _step_device_particle(engine, particle, lines):
+            (finished if c.done else live).append(c)
+        if len(live) + len(finished) > max_particles:
+            raise RuntimeError(
+                f"probabilistic branching exceeded {max_particles} "
+                f"particles; raise max_particles")
+
+    # bind each branch's dense mixture so the host merge applies verbatim
+    from qbot_tpu.inference.ensemble_exec import ensemble_mixture
+    from qbot_tpu.ops.core import empty_state
+    for p in finished:
+        p.ns["state"] = (ensemble_mixture(p.qreg)
+                         if p.qreg is not None else empty_state())
+    merged = _merge_particles(finished)
+    return EnsembleResult(merged, [p.prob for p in finished],
+                          [p.ns for p in finished]), finished
+
+
+def executeTxtDeviceEnsemble(text: str,
+                             max_particles: int = MAX_PARTICLES,
+                             **kw) -> dict:
+    """Device-engine twin of ``executeTxtEnsemble`` (same merged contract)."""
+    res, _ = execute_lines_device_ensemble(text.splitlines(),
+                                           max_particles, **kw)
+    return res.namespace

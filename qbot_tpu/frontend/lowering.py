@@ -277,6 +277,12 @@ def lower_program(text: str, mid_measure: bool = False) -> LoweredProgram:
                 if isinstance(targets, ProbVal):
                     raise _unsupported(lines, line_num, "ProbVal targets")
                 targets = sorted(set(targets))
+            if len(targets) % basis.numQubits:
+                raise LoweringError(err.format_script_error(
+                    lines, line_num, "MeasurementIndexError",
+                    f"{len(targets)} measurement targets do not divide "
+                    f"into {basis.numQubits}-qubit basis blocks"),
+                    line_num, "MeasurementIndexError")
             if mid_measure:
                 mid_specs.append(MeasSpec(tokens[1], basis, tuple(targets),
                                           op_name == "meas",
@@ -390,11 +396,11 @@ def _basis_rotation_plans(basis: Basis, targets, n: int, window: int):
     bq = basis.numQubits
     fwd, inv = Circuit(n), Circuit(n)
     for i in range(0, len(targets), bq):
-        block = targets[i:i + bq]
-        if list(block) != list(range(block[0], block[0] + bq)):
-            raise ValueError(
-                "multi-qubit basis measurement requires contiguous target "
-                "blocks in the lowered path")
+        # blocks are consecutive sorted targets; the gate IR takes arbitrary
+        # target lists, so non-contiguous blocks (e.g. a bell measurement of
+        # qubits 0 and 5) lower to a cross-window contraction — no
+        # contiguity restriction
+        block = list(targets[i:i + bq])
         fwd.gate(rot, block)
         inv.gate(rot.conj().T, block)
     return (compile_circuit(fwd, window=window),
@@ -601,12 +607,7 @@ def _full_circuit(lp: LoweredProgram, window: int) -> "Circuit":
             rot = np.stack(basis.kets).conj()
             bq = basis.numQubits
             for i in range(0, len(targets), bq):
-                block = targets[i:i + bq]
-                if list(block) != list(range(block[0], block[0] + bq)):
-                    raise ValueError(
-                        "multi-qubit basis measurement requires contiguous "
-                        "target blocks in the lowered path")
-                circ.gate(rot, block)
+                circ.gate(rot, list(targets[i:i + bq]))
     return circ
 
 
@@ -699,12 +700,7 @@ def run_lowered(lp: LoweredProgram, window: int = 7, use_planar: bool = True):
     bq = basis.numQubits
     post = Circuit(lp.n)
     for i in range(0, len(targets), bq):
-        block = targets[i:i + bq]
-        if list(block) != list(range(block[0], block[0] + bq)):
-            raise ValueError(
-                "multi-qubit basis measurement requires contiguous target "
-                "blocks in the lowered path")
-        post.gate(rot, block)
+        post.gate(rot, list(targets[i:i + bq]))
     post_plan = compile_circuit(post, window=window)
     if use_planar:
         psi_rot = apply_plan_planar(psi, post_plan)

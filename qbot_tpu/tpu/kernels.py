@@ -156,11 +156,15 @@ def _left_multiply(w, p, block_b: int, flips=()):
 # ---------------------------------------------------------------------------
 # right-multiply kernel (trailing window, B == 1):
 # out[., a, j] = Σ_i p[., a, i] · W[j, i]   (i.e. p @ Wᵀ)
+#
+# W arrives PRE-TRANSPOSED (wt = stack([Wr.T, Wi.T])): an in-kernel .T costs
+# a Mosaic relayout that ballooned compile time from ~3 s to ~105 s on the
+# axon v5e backend (measured, benchmarks/diag_probe2.py).
 # ---------------------------------------------------------------------------
 
-def _right_kernel_body(w_ref, p_ref, o_ref, *, flips, D, block_a):
-    wr_t = w_ref[0].T
-    wi_t = w_ref[1].T
+def _right_kernel_body(wt_ref, p_ref, o_ref, *, flips, D, block_a):
+    wr_t = wt_ref[0]
+    wi_t = wt_ref[1]
     pr = p_ref[0]
     pi = p_ref[1]
     if flips:
@@ -182,8 +186,8 @@ def _right_kernel_body(w_ref, p_ref, o_ref, *, flips, D, block_a):
 
 
 @functools.partial(jax.jit, static_argnames=("block_a", "flips"))
-def _right_multiply(w, p, block_a: int, flips=()):
-    """w: (2, D, D); p: (2, A, D) → (2, A, D)."""
+def _right_multiply(wt, p, block_a: int, flips=()):
+    """wt: (2, D, D) pre-transposed (Wᵀ planar); p: (2, A, D) → (2, A, D)."""
     _, A, D = p.shape
     grid = (pl.cdiv(A, block_a),)
     kernel = functools.partial(_right_kernel_body, flips=flips, D=D,
@@ -204,7 +208,7 @@ def _right_multiply(w, p, block_a: int, flips=()):
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(w, p)
+    )(wt, p)
 
 
 # ---------------------------------------------------------------------------
@@ -215,57 +219,67 @@ def _right_multiply(w, p, block_a: int, flips=()):
 # traffic of separate window steps).
 # ---------------------------------------------------------------------------
 
-def _pair_b1_body(w1_ref, w2_ref, p_ref, o_ref, *, flips, D1, D2):
-    """Trailing pair (B == 1): tile is the (D1, D2) matrix at grid index a;
-    out = W1 · X · W2ᵀ in planar-complex arithmetic (8 MXU matmuls)."""
+def _pair_b1_body(w1_ref, w2t_ref, p_ref, o_ref, *, flips, D1, D2, BA):
+    """Trailing pair (B == 1): tile holds BA (D1, D2) matrices; each is
+    out = W1 · X · W2ᵀ in planar-complex arithmetic (8 MXU matmuls).
+
+    W2 arrives pre-transposed and the tile carries BA > 1 rows: a 1-row
+    tile made Mosaic compile this kernel in ~440 s on the axon v5e backend
+    vs 1.8 s with BA=8 (measured, benchmarks/diag_probe3.py)."""
     w1r, w1i = w1_ref[0], w1_ref[1]
-    w2rt, w2it = w2_ref[0].T, w2_ref[1].T
-    xr = p_ref[0, 0]
-    xi = p_ref[1, 0]
-    if flips:
-        row = jax.lax.broadcasted_iota(jnp.int32, (D1, D2), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (D1, D2), 1)
-        sign = jnp.ones((D1, D2), dtype=xr.dtype)
-        for a_star, d1_star, d2_star in flips:
-            here = (pl.program_id(0) == a_star).astype(xr.dtype)
-            hit = ((row == d1_star) & (col == d2_star)).astype(xr.dtype)
-            sign = sign * (1.0 - 2.0 * here * hit)
-        xr = xr * sign
-        xi = xi * sign
-    yr = (_dot(w1r, xr)
-          - _dot(w1i, xi))
-    yi = (_dot(w1r, xi)
-          + _dot(w1i, xr))
-    o_ref[0, 0] = (_dot(yr, w2rt)
-                   - _dot(yi, w2it))
-    o_ref[1, 0] = (_dot(yr, w2it)
-                   + _dot(yi, w2rt))
+    w2rt, w2it = w2t_ref[0], w2t_ref[1]
+    for j in range(BA):
+        xr = p_ref[0, j]
+        xi = p_ref[1, j]
+        row_flips = [(d1, d2) for t_star, off, d1, d2 in flips if off == j]
+        if row_flips:
+            row = jax.lax.broadcasted_iota(jnp.int32, (D1, D2), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (D1, D2), 1)
+            sign = jnp.ones((D1, D2), dtype=xr.dtype)
+            for t_star, off, d1_star, d2_star in flips:
+                if off != j:
+                    continue
+                here = (pl.program_id(0) == t_star).astype(xr.dtype)
+                hit = ((row == d1_star) & (col == d2_star)).astype(xr.dtype)
+                sign = sign * (1.0 - 2.0 * here * hit)
+            xr = xr * sign
+            xi = xi * sign
+        yr = (_dot(w1r, xr)
+              - _dot(w1i, xi))
+        yi = (_dot(w1r, xi)
+              + _dot(w1i, xr))
+        o_ref[0, j] = (_dot(yr, w2rt)
+                       - _dot(yi, w2it))
+        o_ref[1, j] = (_dot(yr, w2it)
+                       + _dot(yi, w2rt))
 
 
 @functools.partial(jax.jit, static_argnames=("flips",))
-def _pair_b1(w1, w2, p, flips=()):
-    """w1: (2, D1, D1); w2: (2, D2, D2); p: (2, A, D1, D2)."""
+def _pair_b1(w1, w2t, p, flips=()):
+    """w1: (2, D1, D1); w2t: (2, D2, D2) pre-transposed; p: (2, A, D1, D2)."""
     _, A, D1, D2 = p.shape
-    kernel = functools.partial(_pair_b1_body, flips=flips, D1=D1, D2=D2)
+    BA = min(A, 8)
+    kernel = functools.partial(_pair_b1_body, flips=flips, D1=D1, D2=D2,
+                               BA=BA)
     return pl.pallas_call(
         kernel,
-        grid=(A,),
+        grid=(pl.cdiv(A, BA),),
         in_specs=[
             pl.BlockSpec((2, D1, D1), lambda a: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, D2, D2), lambda a: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 1, D1, D2), lambda a: (0, a, 0, 0),
+            pl.BlockSpec((2, BA, D1, D2), lambda a: (0, a, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2, 1, D1, D2), lambda a: (0, a, 0, 0),
+        out_specs=pl.BlockSpec((2, BA, D1, D2), lambda a: (0, a, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(w1, w2, p)
+    )(w1, w2t, p)
 
 
 def _pair_bt_body(w1_ref, w2_ref, p_ref, o_ref, *, flips, D1, D2, block_b):
@@ -509,14 +523,18 @@ def planar_pair_window_apply(psi, n: int, s1: int, w1: int, s2: int, w2: int,
 
     if _use_pallas():
         w1s = jnp.stack([W1r, W1i])
-        w2s = jnp.stack([W2r, W2i])
         if B == 1:
+            w2ts = jnp.stack([W2r.T, W2i.T])
             p = psi.reshape(2, A, D1, D2)
-            flips = tuple((m >> (w1 + w2), (m >> w2) & (D1 - 1), m & (D2 - 1))
+            BA = min(A, 8)
+            flips = tuple(((m >> (w1 + w2)) // BA, (m >> (w1 + w2)) % BA,
+                           (m >> w2) & (D1 - 1), m & (D2 - 1))
                           for m in pre_flips)
-            return _pair_b1(w1s, w2s, p, flips).reshape(psi.shape)
+            return _pair_b1(w1s, w2ts, p, flips).reshape(psi.shape)
+        w2s = jnp.stack([W2r, W2i])
         if B >= 128 and D1 <= 32:
-            block_b = min(B, 256)
+            # block_b 256 compiled in >100 s on the axon backend; 128 in ~9 s
+            block_b = min(B, 128)
             lb = B.bit_length() - 1
             p = psi.reshape(2, A, D1, D2, B)
             flips = tuple(
@@ -544,18 +562,21 @@ def planar_window_apply(psi, n: int, start: int, width: int, Wr, Wi,
     B = (2**n) // (a * D)
 
     if _use_pallas():
-        w = jnp.stack([Wr, Wi])
         if B == 1 and a >= 8:
+            wt = jnp.stack([Wr.T, Wi.T])
             p = psi.reshape(2, a, D)
             block_a = min(a, max(8, 4096 // max(D // 128, 1)))
             flips = tuple(
                 ((m // D) // block_a, (m // D) % block_a, m % D)
                 for m in pre_flips)
-            out = _right_multiply(w, p, block_a, flips)
+            out = _right_multiply(wt, p, block_a, flips)
             return out.reshape(psi.shape)
+        w = jnp.stack([Wr, Wi])
         if B >= 128:
             p = psi.reshape(2, a, D, B)
-            block_b = min(B, 2048)
+            # D=32 tiles with 2048 lanes made Mosaic compile for ~460 s on
+            # the axon backend; 512 lanes compile in ~1 s (diag_probe2.py)
+            block_b = min(B, 512 if D <= 32 else 2048)
             flips = tuple(
                 (m // (D * B), (m % B) // block_b,
                  (m % (D * B)) // B, (m % B) % block_b)

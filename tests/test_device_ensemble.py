@@ -1,0 +1,145 @@
+"""Device-ensemble program runner vs the host ensemble runner.
+
+ProbVal control flow forking DEVICE particles (SURVEY.md §7 decision 2:
+branch count is a sharding/particle axis) must produce the SAME merged
+namespace as qbot_tpu.frontend.ensemble's dense host runner.
+"""
+import numpy as np
+import pytest
+
+from qbot_tpu.frontend.device_ensemble import (
+    execute_lines_device_ensemble,
+    executeTxtDeviceEnsemble,
+)
+from qbot_tpu.frontend.ensemble import executeTxtEnsemble
+from qbot_tpu.probval import ProbVal
+
+
+def _both(src, **kw):
+    host = executeTxtEnsemble(src)
+    dev = executeTxtDeviceEnsemble(src, **kw)
+    return host, dev
+
+
+def _assert_state_close(host, dev, atol=1e-5):
+    np.testing.assert_allclose(np.asarray(dev["state"], complex),
+                               np.asarray(host["state"], complex),
+                               atol=atol)
+
+
+class TestDeviceBranching:
+    def test_probabilistic_branching_example(self):
+        with open("examples/probabilistic_branching.qb") as f:
+            src = f.read()
+        host, dev = _both(src)
+        _assert_state_close(host, dev)
+
+    def test_cjmp_fork_and_classical_merge(self):
+        src = ("cdef x ; 1\n"
+               "qset comp[0]\n"
+               "cjmp flip ; ProbVal([0.25, 0.75], [True, False])\n"
+               "cdef x ; 2\n"
+               "halt\n"
+               "mark flip\n"
+               "gate pauliXGate\n"
+               "cdef x ; 3")
+        host, dev = _both(src)
+        _assert_state_close(host, dev)
+        assert isinstance(dev["x"], ProbVal)
+        assert dev["x"].is_equivalent(host["x"])
+
+    def test_probval_halt_and_retr(self):
+        src = ("cdef hits ; 0\n"
+               "qset comp[0]\n"
+               "jump body\n"
+               "cdef hits ; hits + 10\n"
+               "halt\n"
+               "mark body\n"
+               "gate hadamardGate\n"
+               "cdef hits ; hits + 1\n"
+               "retr ProbVal([0.5, 0.5], [True, False])\n"
+               "cdef hits ; hits + 100")
+        host, dev = _both(src)
+        _assert_state_close(host, dev)
+        assert dev["hits"].is_equivalent(host["hits"])
+
+    def test_probval_gate_operand_fans_on_device(self):
+        src = ("qset tensorProd(comp[0], comp[0])\n"
+               "gate ProbVal([0.5, 0.5], [pauliXGate, identityGate]) ; 0")
+        host, dev = _both(src)
+        _assert_state_close(host, dev)
+
+    def test_probval_conditional_mixes_on_particle_axis(self):
+        src = ("qset comp[0]\n"
+               "gate pauliXGate ; 0 ; [] ; ProbVal([0.3, 0.7], [True, False])")
+        host, dev = _both(src)
+        _assert_state_close(host, dev)
+
+    def test_probval_target_and_swap(self):
+        src = ("qset tensorProd(comp[0], comp[1], comp[0])\n"
+               "swap 1 ; ProbVal([0.5, 0.5], [0, 2])")
+        host, dev = _both(src)
+        _assert_state_close(host, dev)
+
+    def test_meas_disc_inside_branches(self):
+        src = ("qset tensorProd(comp[0], comp[0])\n"
+               "gate hadamardGate ; 0\n"
+               "gate pauliXGate ; 1 ; [0]\n"
+               "cjmp alt ; ProbVal([0.5, 0.5], [True, False])\n"
+               "meas m ; computation ; [0]\n"
+               "halt\n"
+               "mark alt\n"
+               "disc 0")
+        host, dev = _both(src)
+        # branch registers differ in size: state merges as a ProbVal
+        assert isinstance(dev["state"], ProbVal) == isinstance(
+            host["state"], ProbVal)
+        # m is bound only in the measuring branch: merged as ProbVal with a
+        # None branch (reference collapseNamespaces behaviour)
+        def bound(v):
+            if isinstance(v, ProbVal):
+                return next(x for x in v.values if x is not None)
+            return v
+
+        np.testing.assert_allclose(bound(dev["m"]).probs,
+                                   bound(host["m"]).probs, atol=1e-6)
+
+    def test_mixed_prep_on_device_runner(self):
+        src = ("qset ProbVal([0.25, 0.75], [comp[0], comp[1]])\n"
+               "gate hadamardGate\n"
+               "peek p ; computation")
+        host, dev = _both(src)
+        _assert_state_close(host, dev)
+        np.testing.assert_allclose(dev["p"].probs, host["p"].probs,
+                                   atol=1e-6)
+
+    def test_bell_basis_meas_on_device_runner(self):
+        src = ("qset tensorProd(comp[0], comp[0])\n"
+               "gate hadamardGate ; 0\n"
+               "gate pauliXGate ; 1 ; [0]\n"
+               "meas b ; bell")
+        host, dev = _both(src)
+        np.testing.assert_allclose(dev["b"].probs, host["b"].probs,
+                                   atol=1e-6)
+        _assert_state_close(host, dev)
+
+    def test_sampled_mode_runs_fixed_particles(self):
+        src = ("qset tensorProd(comp[0], comp[0])\n"
+               "gate hadamardGate ; 0\n"
+               "gate pauliXGate ; 1 ; [0]\n"
+               "meas m ; computation ; [0]")
+        res, finished = execute_lines_device_ensemble(
+            src.splitlines(), sample=32, seed=3)
+        assert all(p.qreg.num_particles == 32 for p in finished)
+        m = res.namespace["m"]
+        np.testing.assert_allclose(m.probs, [0.5, 0.5], atol=1e-6)
+
+    def test_device_particles_shared_across_fork(self):
+        # forked branches must SHARE the device register (no copy)
+        src = ("qset comp[0]\n"
+               "gate hadamardGate\n"
+               "cjmp end ; ProbVal([0.5, 0.5], [True, False])\n"
+               "mark end")
+        _, finished = execute_lines_device_ensemble(src.splitlines())
+        assert len(finished) == 2
+        assert finished[0].qreg.psi is finished[1].qreg.psi

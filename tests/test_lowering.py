@@ -50,6 +50,39 @@ class TestLowering:
         want = executeTxt(src)["out"].probs
         np.testing.assert_allclose(probs, want, atol=1e-6)
 
+    def test_bell_basis_non_contiguous_targets(self):
+        # a bell measurement of qubits (0, 2) — the block is NOT a
+        # contiguous qubit pair; the rotation lowers to a cross-window
+        # contraction instead of refusing
+        src = ("qset tensorProd(comp[0], comp[1], comp[0])\n"
+               "gate hadamardGate ; 0\n"
+               "gate pauliXGate ; 2 ; 0\n"
+               "meas out ; bell ; [0, 2]")
+        lp, probs = lowered_probs(src)
+        want = executeTxt(src)["out"].probs
+        np.testing.assert_allclose(probs, want, atol=1e-6)
+
+    def test_bell_basis_non_contiguous_ensemble_path(self):
+        from qbot_tpu.frontend.lowering import run_lowered_ensemble
+        src = ("qset tensorProd(comp[0], comp[0], comp[0])\n"
+               "gate hadamardGate ; 0\n"
+               "gate pauliXGate ; 2 ; 0\n"
+               "meas out ; bell ; [0, 2]\n"
+               "meas rest ; comp ; [1]")
+        lp = lower_program(src, mid_measure=True)
+        results, _ = run_lowered_ensemble(lp)
+        dense = executeTxt(src)
+        np.testing.assert_allclose(results["out"].probs, dense["out"].probs,
+                                   atol=1e-6)
+
+    def test_indivisible_basis_blocks_render_script_error(self):
+        src = ("qset tensorProd(comp[0], comp[0], comp[0])\n"
+               "meas out ; bell ; [0, 1, 2]")
+        with pytest.raises(LoweringError) as ei:
+            lower_program(src)
+        assert "basis blocks" in str(ei.value)
+        assert ">>>" in str(ei.value)       # rendered source context
+
     def test_subset_measurement(self):
         src = ("qset tensorProd(comp[1], hada[0], comp[0])\n"
                "meas out ; comp ; [0, 2]")
