@@ -37,7 +37,8 @@ from qbot_tpu.tpu.circuit import Circuit, CircuitOp
 
 __all__ = ["Term", "WindowStep", "DiagStep", "FlipStep", "ContractStep",
            "PairStep", "ReflectStep", "Plan", "compile_circuit",
-           "expand_pairs", "expand_reflections", "gate_as_diag"]
+           "expand_pairs", "expand_reflections", "gate_as_diag",
+           "eigen_decompose_controlled", "decompose_spanning_swap"]
 
 
 @dataclass(frozen=True)
@@ -184,6 +185,82 @@ def gate_as_diag(op: CircuitOp) -> Optional[CircuitOp]:
     return CircuitOp("diag", tuple(op.controls) + tuple(op.targets), (), d)
 
 
+_SWAP2 = np.array([[1, 0, 0, 0], [0, 0, 1, 0],
+                   [0, 1, 0, 0], [0, 0, 0, 1]], dtype=complex)
+
+
+def _unitary_eig(U: np.ndarray, atol: float = 1e-9):
+    """Orthonormal eigendecomposition U = V diag(d) V† of a unitary.
+
+    Every unitary is normal, hence unitarily diagonalizable — but
+    ``np.linalg.eig`` does not return orthonormal eigenvectors for repeated
+    eigenvalues, so diagonalize a random Hermitian combination of the
+    commuting Hermitian/anti-Hermitian parts instead (their joint
+    eigenbasis is U's); verify, retry with fresh coefficients on the
+    measure-zero failure of a degenerate combination.
+    """
+    H = (U + U.conj().T) / 2
+    S = (U - U.conj().T) / 2j
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        t = rng.uniform(0.2, 0.8)
+        _, V = np.linalg.eigh(t * H + (1 - t) * S)
+        D = V.conj().T @ U @ V
+        if np.allclose(D, np.diag(np.diag(D)), atol=atol):
+            return np.diag(D), V
+    return None, None
+
+
+def eigen_decompose_controlled(op: CircuitOp) -> Optional[list[CircuitOp]]:
+    """Rewrite a static controlled-U as  V† · controlled-diag · V.
+
+    U = V diag(d) V† (unitaries are normal) gives
+    ``C-U = (I⊗V) · C-diag(d) · (I⊗V†)`` — the V factors touch ONLY the
+    target qubits and the controlled part becomes a *diagonal*, which costs
+    one fused elementwise pass wherever it lands (and, on a sharded
+    register, factors across shards with zero communication).  This removes
+    the need to ever contract a controlled gate across windows or shards —
+    the TPU-native replacement for the reference's full-space
+    ``genMultiControlledGate`` conjugations (qgates.py:228-275).
+
+    Returns None when the op is not a static controlled gate or the
+    decomposition fails numerically (caller keeps the contraction path).
+    """
+    if op.kind != "gate" or op.matrix is None or not op.controls:
+        return None
+    U = np.asarray(op.matrix, np.complex128)
+    d, V = _unitary_eig(U)
+    if d is None:
+        return None                      # pragma: no cover - retry exhausted
+    full = np.ones(2 ** (len(op.controls) + len(op.targets)), np.complex128)
+    full[-d.shape[0]:] = d
+    out = []
+    if not np.allclose(V, np.eye(V.shape[0]), atol=1e-12):
+        out.append(CircuitOp("gate", op.targets, (), V.conj().T))
+        out.append(CircuitOp("diag", tuple(op.controls) + tuple(op.targets),
+                             (), full))
+        out.append(CircuitOp("gate", op.targets, (), V))
+    else:                                # U already diagonal
+        out.append(CircuitOp("diag", tuple(op.controls) + tuple(op.targets),
+                             (), full))
+    return out
+
+
+def decompose_spanning_swap(op: CircuitOp) -> Optional[list[CircuitOp]]:
+    """A 2-qubit SWAP as 3 CXs (each then eigen-decomposes to H·CZ·H),
+    for swaps spanning windows or shards."""
+    if (op.kind != "gate" or op.matrix is None or op.controls
+            or len(op.targets) != 2):
+        return None
+    if not np.allclose(np.asarray(op.matrix, complex), _SWAP2, atol=1e-12):
+        return None
+    a, b = op.targets
+    X = np.array([[0, 1], [1, 0]], dtype=complex)
+    return [CircuitOp("gate", (b,), (a,), X),
+            CircuitOp("gate", (a,), (b,), X),
+            CircuitOp("gate", (b,), (a,), X)]
+
+
 def compile_circuit(circ: Circuit, window: int = 7,
                     pair: bool = True) -> Plan:
     n = circ.n
@@ -226,7 +303,11 @@ def compile_circuit(circ: Circuit, window: int = 7,
         for gi in sorted({group_of[q] for q in qubits}):
             flush(gi)
 
-    for op in circ.ops:
+    from collections import deque
+
+    queue = deque(circ.ops)
+    while queue:
+        op = queue.popleft()
         dop = gate_as_diag(op)
         if dop is not None:
             op = dop
@@ -253,6 +334,15 @@ def compile_circuit(circ: Circuit, window: int = 7,
         qubits = op.controls + op.targets
         gis = {group_of[q] for q in qubits}
         if op.matrix is not None:
+            if len(gis) > 1:
+                # never contract across windows when a cheap algebraic
+                # rewrite exists: spanning swaps → 3 CXs; controlled gates →
+                # V† · controlled-diag · V (diagonals are one fused pass)
+                dec = (decompose_spanning_swap(op)
+                       or eigen_decompose_controlled(op))
+                if dec is not None:
+                    queue.extendleft(reversed(dec))
+                    continue
             mat = controlled(op.matrix, len(op.controls)) if op.controls \
                 else op.matrix
             if len(gis) == 1:
@@ -277,11 +367,58 @@ def compile_circuit(circ: Circuit, window: int = 7,
 
     for gi in sorted(pending):
         flush(gi)
+    plan.steps = merge_adjacent_diags(plan.steps)
     plan.steps = _detect_reflections(plan.steps, n)
     plan.steps = _fuse_flips(plan.steps)
     if pair:
         plan.steps = _pair_windows(plan.steps, n)
     return plan
+
+
+def combine_diag_vectors(targets_a, diag_a, targets_b, diag_b, union):
+    """Phase vector of diag_a·diag_b over the sorted union of their targets.
+
+    Diagonals compose elementwise: each union index selects the bits of the
+    two operand target subsets and multiplies the corresponding phases.
+    """
+    k = len(union)
+    pos = {q: i for i, q in enumerate(union)}
+    idx = np.arange(2**k)
+
+    def sub_index(targets):
+        s = np.zeros(2**k, dtype=np.int64)
+        t = len(targets)
+        for j, q in enumerate(targets):
+            bit = (idx >> (k - 1 - pos[q])) & 1
+            s |= bit << (t - 1 - j)
+        return s
+
+    va = np.asarray(diag_a, np.complex128)
+    vb = np.asarray(diag_b, np.complex128)
+    return va[sub_index(targets_a)] * vb[sub_index(targets_b)]
+
+
+def merge_adjacent_diags(steps: list[Step], cap: int = 12) -> list[Step]:
+    """Fuse runs of adjacent DiagSteps into one elementwise pass each.
+
+    All diagonals commute, so adjacent DiagSteps combine exactly; the
+    merged phase tensor is capped at 2^cap entries so a long run over many
+    distinct qubits (e.g. a QFT's controlled-phase cascade) merges in
+    chunks rather than materialising a 2^n constant.
+    """
+    out: list[Step] = []
+    for step in steps:
+        if (isinstance(step, DiagStep) and out
+                and isinstance(out[-1], DiagStep)):
+            prev = out[-1]
+            union = tuple(sorted(set(prev.targets) | set(step.targets)))
+            if len(union) <= cap:
+                out[-1] = DiagStep(union, combine_diag_vectors(
+                    prev.targets, prev.diag, step.targets, step.diag,
+                    union))
+                continue
+        out.append(step)
+    return out
 
 
 def _static_window_matrix(step: WindowStep):

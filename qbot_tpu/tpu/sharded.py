@@ -293,7 +293,11 @@ def compile_sharded(circ: Circuit, k: int, window: int = 7) -> ShardedPlan:
             out |= bit << (n - 1 - p)
         return out
 
-    from qbot_tpu.tpu.compiler import gate_as_diag
+    from qbot_tpu.tpu.compiler import (
+        decompose_spanning_swap,
+        eigen_decompose_controlled,
+        gate_as_diag,
+    )
 
     ops = []
     for op in _detect_op_reflections(list(circ.ops), n):
@@ -303,9 +307,26 @@ def compile_sharded(circ: Circuit, k: int, window: int = 7) -> ShardedPlan:
         dop = gate_as_diag(op)
         ops.append(dop if dop is not None else op)
     emitted = [False] * len(ops)
-    for i, op in enumerate(ops):
+    i = -1
+    while i + 1 < len(ops):
+        i += 1
+        op = ops[i]
         if emitted[i]:
             continue
+        if (not isinstance(op, _OpReflect) and op.kind == "gate"
+                and op.matrix is not None and not is_local(op)):
+            # algebraic rewrite instead of a reshard: spanning swaps → 3
+            # CXs; controlled gates → V†·controlled-diag·V — the diagonal
+            # factors across shards (ShardedDiag, zero communication) and
+            # the V factors touch only the (usually local) target qubits
+            dec = (decompose_spanning_swap(op)
+                   or eigen_decompose_controlled(op))
+            if dec is not None:
+                dec = [gate_as_diag(d) or d for d in dec]
+                ops[i:i + 1] = dec
+                emitted[i:i + 1] = [False] * len(dec)
+                i -= 1
+                continue
         if isinstance(op, _OpReflect):
             # map logical factors to physical axes under the current perm
             flush()
@@ -358,6 +379,21 @@ def compile_sharded(circ: Circuit, k: int, window: int = 7) -> ShardedPlan:
         emit(op)
         emitted[i] = True
     flush()
+    # adjacent sharded diagonals commute: fuse runs into one pass each
+    from qbot_tpu.tpu.compiler import combine_diag_vectors
+    merged: list[Item] = []
+    for item in splan.items:
+        if (isinstance(item, ShardedDiag) and merged
+                and isinstance(merged[-1], ShardedDiag)):
+            prev = merged[-1]
+            union = tuple(sorted(set(prev.positions) | set(item.positions)))
+            if len(union) <= 12:
+                merged[-1] = ShardedDiag(union, combine_diag_vectors(
+                    prev.positions, prev.diag, item.positions, item.diag,
+                    union))
+                continue
+        merged.append(item)
+    splan.items = merged
     splan.final_perm = list(perm)
     return splan
 

@@ -77,11 +77,36 @@ class TestCompiler:
         plan_unpaired = compile_circuit(c, window=7, pair=False)
         assert plan_unpaired.num_passes == 2
 
-    def test_cross_window_gate_falls_back(self):
+    def test_cross_window_controlled_gate_becomes_diag(self):
+        # controlled gates never contract across windows: CX rewrites to
+        # H · controlled-Z(diag) · H, so the plan is windows + one DiagStep
         c = Circuit(10).h(0).cx(0, 9)
         plan = compile_circuit(c, window=7)
         kinds = [type(s).__name__ for s in plan.steps]
+        assert "ContractStep" not in kinds
+        from qbot_tpu.tpu.compiler import expand_pairs
+        assert any(type(s).__name__ == "DiagStep"
+                   for s in expand_pairs(plan.steps))
+
+    def test_cross_window_generic_gate_falls_back(self):
+        # a generic (non-controlled, non-swap) 2q unitary across windows
+        # still needs the contraction path
+        rng = np.random.default_rng(0)
+        m = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+        q, _ = np.linalg.qr(m)
+        c = Circuit(10).gate(q, [0, 9])
+        plan = compile_circuit(c, window=7)
+        kinds = [type(s).__name__ for s in plan.steps]
         assert "ContractStep" in kinds
+
+    def test_cross_window_swap_decomposes(self):
+        c = Circuit(10)
+        for q in range(10):
+            c.h(q)
+        c.swap(0, 9)
+        plan = compile_circuit(c, window=7)
+        kinds = [type(s).__name__ for s in plan.steps]
+        assert "ContractStep" not in kinds
 
     def test_phase_flip_costs_zero_passes(self):
         c = Circuit(10)
