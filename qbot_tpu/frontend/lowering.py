@@ -407,9 +407,24 @@ def _basis_rotation_plans(basis: Basis, targets, n: int, window: int):
             compile_circuit(inv, window=window))
 
 
+def _save_ensemble_checkpoint(mgr, event: int, ens, cur_n: int, prev: int,
+                              results: dict, key) -> None:
+    """Snapshot the ensemble + event cursor for elastic recovery."""
+    arrays = {"log_w": ens.log_w, "psi": ens.psi}
+    if key is not None:
+        arrays["key"] = key
+    mgr.save(event, arrays, {
+        "event": event, "cur_n": cur_n, "prev": prev,
+        "results": {name: [float(p) for p in r.probs]
+                    for name, r in results.items()},
+    })
+
+
 def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
                          window: int = 7, collapse_mode: str = "reference",
-                         sample: int = 0, seed: int = 0):
+                         sample: int = 0, seed: int = 0,
+                         checkpoint_dir: Optional[str] = None,
+                         checkpoint_every: int = 1):
     """Execute a mid-measurement program on the device ensemble engine.
 
     Requires ``lower_program(text, mid_measure=True)``.  Each ``meas`` fans
@@ -423,6 +438,13 @@ def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
     Born proposal, :func:`~qbot_tpu.inference.ensemble_exec.measure_sample`)
     instead of fanning out — memory stays constant however deep the
     measurement sequence.  ``seed`` keys the sampler (CLI ``--seed``).
+
+    ``checkpoint_dir`` enables elastic recovery (SURVEY.md §5 failure
+    plan): the ensemble (log-weights, planar states, PRNG key) plus the
+    event cursor and bound outcome distributions are snapshotted every
+    ``checkpoint_every`` measurement/discard events.  A re-invocation with
+    the same directory resumes from the latest snapshot — a lost host
+    restarts from the last ensemble snapshot instead of from scratch.
     """
     import jax
     import jax.numpy as jnp
@@ -461,6 +483,24 @@ def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
     prev = 0
     results: dict[str, object] = {}
 
+    mgr = None
+    start_event = 0
+    saved_probs: dict = {}
+    if checkpoint_dir is not None:
+        from qbot_tpu.utils.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(checkpoint_dir)
+        if mgr.latest_step() is not None:
+            arrays, meta = mgr.restore()
+            ens = QuantumEnsemble(jnp.asarray(arrays["log_w"]),
+                                  jnp.asarray(arrays["psi"]))
+            if sample and "key" in arrays:
+                key = jnp.asarray(arrays["key"])
+            cur_n = int(meta["cur_n"])
+            prev = int(meta["prev"])
+            start_event = int(meta["event"])
+            saved_probs = meta.get("results", {})
+
     def run_segment(ens, ops, n):
         if not ops:
             return ens
@@ -469,7 +509,15 @@ def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
         seg.num_params = lp.circuit.num_params
         return apply_plan_ensemble(ens, compile_circuit(seg, window=window))
 
-    for spec in lp.mid_measurements:
+    for ei, spec in enumerate(lp.mid_measurements):
+        if ei < start_event:
+            # already executed before the snapshot: re-bind the recorded
+            # outcome distributions, skip the device work
+            if isinstance(spec, MeasSpec):
+                results[spec.name] = _make_result(
+                    spec.basis, sorted(spec.targets),
+                    saved_probs[spec.name])
+            continue
         ens = run_segment(ens, all_ops[prev:spec.at_op], cur_n)
         prev = spec.at_op
         targets = sorted(spec.targets)
@@ -480,6 +528,10 @@ def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
             else:
                 ens = discard_fanout(ens, cur_n, targets, max_particles)
             cur_n -= len(targets)
+            if mgr is not None and (ei + 1) % checkpoint_every == 0:
+                _save_ensemble_checkpoint(mgr, ei + 1, ens, cur_n, prev,
+                                          results,
+                                          key if sample else None)
             continue
         rot, inv = _basis_rotation_plans(spec.basis, list(targets), cur_n,
                                          window)
@@ -498,6 +550,9 @@ def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
             dist = peek_probs(ens_m, cur_n, targets)
         results[spec.name] = _make_result(spec.basis, targets,
                                           np.asarray(dist))
+        if mgr is not None and (ei + 1) % checkpoint_every == 0:
+            _save_ensemble_checkpoint(mgr, ei + 1, ens, cur_n, prev, results,
+                                      key if sample else None)
 
     ens = run_segment(ens, all_ops[prev:], cur_n)
     for name, res in results.items():

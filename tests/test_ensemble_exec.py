@@ -320,3 +320,61 @@ class TestDiscAndMixedPrep:
                "meas a ; computation")
         with _pytest.raises(LoweringError):
             lower_program(src)
+
+
+class TestElasticRecovery:
+    SRC = ("qset tensorProd(comp[0], comp[0], comp[0])\n"
+           "gate hadamardGate ; 0\n"
+           "gate pauliXGate ; 1 ; [0]\n"
+           "meas a ; computation ; [0]\n"
+           "gate hadamardGate ; 2\n"
+           "meas b ; computation ; [2]\n"
+           "disc [2]\n"
+           "meas c ; computation")
+
+    def test_restart_from_snapshot_matches_uninterrupted(self, tmp_path,
+                                                         monkeypatch):
+        from qbot_tpu.frontend.lowering import lower_program
+        from qbot_tpu.inference import ensemble_exec as ee
+
+        lp = lower_program(self.SRC, mid_measure=True)
+        want, want_ens = run_lowered_ensemble(lp)
+
+        # crash the run after the second measurement event ("lost host")
+        ckpt = str(tmp_path / "snap")
+        real_fanout = ee.measure_fanout
+        calls = {"n": 0}
+
+        def dying_fanout(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] > 2:
+                raise RuntimeError("injected host loss")
+            return real_fanout(*a, **kw)
+
+        import qbot_tpu.inference.ensemble_exec as ee_mod
+        monkeypatch.setattr(ee_mod, "measure_fanout", dying_fanout)
+        lp2 = lower_program(self.SRC, mid_measure=True)
+        with pytest.raises(RuntimeError, match="injected host loss"):
+            run_lowered_ensemble(lp2, checkpoint_dir=ckpt)
+        monkeypatch.setattr(ee_mod, "measure_fanout", real_fanout)
+
+        # a fresh invocation resumes from the latest snapshot (event 2):
+        # only the remaining events execute, results match exactly
+        lp3 = lower_program(self.SRC, mid_measure=True)
+        got, got_ens = run_lowered_ensemble(lp3, checkpoint_dir=ckpt)
+        for name in ("a", "b", "c"):
+            np.testing.assert_allclose(got[name].probs, want[name].probs,
+                                       atol=1e-6)
+        np.testing.assert_allclose(ensemble_mixture(got_ens),
+                                   ensemble_mixture(want_ens), atol=1e-5)
+
+    def test_snapshot_files_roll(self, tmp_path):
+        from qbot_tpu.frontend.lowering import lower_program
+        from qbot_tpu.utils.checkpoint import CheckpointManager
+
+        ckpt = str(tmp_path / "snap2")
+        lp = lower_program(self.SRC, mid_measure=True)
+        run_lowered_ensemble(lp, checkpoint_dir=ckpt)
+        steps = CheckpointManager(ckpt).all_steps()
+        # one snapshot per event (2 meas + disc + meas), retention keeps 3
+        assert steps == [2, 3, 4]
