@@ -415,6 +415,7 @@ def _save_ensemble_checkpoint(mgr, event: int, ens, cur_n: int, prev: int,
         arrays["key"] = key
     mgr.save(event, arrays, {
         "event": event, "cur_n": cur_n, "prev": prev,
+        "lost_mass": float(ens.lost_mass),
         "results": {name: [float(p) for p in r.probs]
                     for name, r in results.items()},
     })
@@ -424,7 +425,8 @@ def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
                          window: int = 7, collapse_mode: str = "reference",
                          sample: int = 0, seed: int = 0,
                          checkpoint_dir: Optional[str] = None,
-                         checkpoint_every: int = 1):
+                         checkpoint_every: int = 1,
+                         prune_tol: float = 1e-6):
     """Execute a mid-measurement program on the device ensemble engine.
 
     Requires ``lower_program(text, mid_measure=True)``.  Each ``meas`` fans
@@ -438,6 +440,12 @@ def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
     Born proposal, :func:`~qbot_tpu.inference.ensemble_exec.measure_sample`)
     instead of fanning out — memory stays constant however deep the
     measurement sequence.  ``seed`` keys the sampler (CLI ``--seed``).
+
+    Exact fan-out mode tracks the probability mass dropped by the
+    ``max_particles`` prune (``QuantumEnsemble.lost_mass``, an exact
+    total-variation error bound on every reported distribution); if it
+    exceeds ``prune_tol`` a ``RuntimeWarning`` is emitted — deep
+    measurement programs never lose mass silently.
 
     ``checkpoint_dir`` enables elastic recovery (SURVEY.md §5 failure
     plan): the ensemble (log-weights, planar states, PRNG key) plus the
@@ -493,7 +501,8 @@ def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
         if mgr.latest_step() is not None:
             arrays, meta = mgr.restore()
             ens = QuantumEnsemble(jnp.asarray(arrays["log_w"]),
-                                  jnp.asarray(arrays["psi"]))
+                                  jnp.asarray(arrays["psi"]),
+                                  float(meta.get("lost_mass", 0.0)))
             if sample and "key" in arrays:
                 key = jnp.asarray(arrays["key"])
             cur_n = int(meta["cur_n"])
@@ -555,6 +564,15 @@ def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
                                       key if sample else None)
 
     ens = run_segment(ens, all_ops[prev:], cur_n)
+    lost = float(ens.lost_mass)
+    if lost > prune_tol:
+        import warnings
+        warnings.warn(
+            f"ensemble pruning dropped {lost:.3e} probability mass "
+            f"(> prune_tol={prune_tol:g}); reported outcome probabilities "
+            f"carry up to that much total-variation error — raise "
+            f"max_particles or switch to sampling mode (sample > 0)",
+            RuntimeWarning, stacklevel=2)
     for name, res in results.items():
         lp.namespace[name] = res
     _run_epilogue(lp)

@@ -41,9 +41,17 @@ _MIN_P = 1e-12
 
 
 class QuantumEnsemble(NamedTuple):
-    """Weighted batch of planar pure states; exact branch semantics."""
+    """Weighted batch of planar pure states; exact branch semantics.
+
+    ``lost_mass`` is the cumulative probability mass dropped by branch
+    pruning so far — the exact error bound on every subsequent outcome
+    probability (|p_reported − p_exact| ≤ lost_mass in total variation).
+    Tracked so deep measurement programs cannot lose mass *silently*
+    (executors surface it; see :func:`run_lowered_ensemble`).
+    """
     log_w: jax.Array                 # (B,)
     psi: jax.Array                   # (B, 2, 2^n) planar float32
+    lost_mass: jax.Array | float = 0.0   # cumulative pruned probability
 
     @property
     def num_particles(self) -> int:
@@ -57,6 +65,24 @@ class QuantumEnsemble(NamedTuple):
 def init_ensemble(psi0: jax.Array) -> QuantumEnsemble:
     """Single-particle ensemble from a planar (2, 2^n) state."""
     return QuantumEnsemble(jnp.zeros((1,)), psi0[None])
+
+
+def _prune(log_w, psi, max_particles: int, lost_mass):
+    """Keep the heaviest ``max_particles`` branches; renormalise.
+
+    Returns (log_w, psi, lost_mass') with the cumulative pruned-mass
+    accumulator updated: lost' = lost + retained_so_far · dropped_fraction.
+    """
+    total = log_w.shape[0]
+    keep = min(max_particles, total)
+    if keep < total:
+        mass_before = jnp.sum(jnp.exp(log_w))
+        log_w, idx = jax.lax.top_k(log_w, keep)
+        psi = psi[idx]
+        dropped = 1.0 - jnp.sum(jnp.exp(log_w)) / mass_before
+        lost_mass = lost_mass + (1.0 - lost_mass) * dropped
+    log_w = log_w - jax.scipy.special.logsumexp(log_w)
+    return log_w, psi, lost_mass
 
 
 def init_mixed_ensemble(rho: np.ndarray, tol: float = 1e-12
@@ -83,7 +109,7 @@ def apply_plan_ensemble(ens: QuantumEnsemble, plan: Plan,
     from qbot_tpu.tpu.planar import apply_plan_planar
 
     psi = jax.vmap(lambda p: apply_plan_planar(p, plan, params))(ens.psi)
-    return QuantumEnsemble(ens.log_w, psi)
+    return QuantumEnsemble(ens.log_w, psi, ens.lost_mass)
 
 
 def _outcome_split(psi, n: int, targets: Sequence[int]):
@@ -177,14 +203,8 @@ def measure_fanout(ens: QuantumEnsemble, n: int, targets: Sequence[int],
     else:
         raise ValueError(f"unknown collapse mode {mode!r}")
 
-    total = psi.shape[0]
-    keep = min(max_particles, total)
-    if keep < total:
-        top_w, idx = jax.lax.top_k(log_w, keep)
-        psi = psi[idx]
-        log_w = top_w
-    log_w = log_w - jax.scipy.special.logsumexp(log_w)
-    return QuantumEnsemble(log_w, psi), dist
+    log_w, psi, lost = _prune(log_w, psi, max_particles, ens.lost_mass)
+    return QuantumEnsemble(log_w, psi, lost), dist
 
 
 def _discard_split(psi, n: int, targets: Sequence[int]):
@@ -225,14 +245,8 @@ def discard_fanout(ens: QuantumEnsemble, n: int, targets: Sequence[int],
     logp = jnp.log(jnp.clip(p_all, _MIN_P))
     log_w = (ens.log_w[:, None] + logp).reshape(B * K)
     psi = states.reshape((B * K, 2) + states.shape[3:])
-    total = psi.shape[0]
-    keep = min(max_particles, total)
-    if keep < total:
-        top_w, idx = jax.lax.top_k(log_w, keep)
-        psi = psi[idx]
-        log_w = top_w
-    log_w = log_w - jax.scipy.special.logsumexp(log_w)
-    return QuantumEnsemble(log_w, psi)
+    log_w, psi, lost = _prune(log_w, psi, max_particles, ens.lost_mass)
+    return QuantumEnsemble(log_w, psi, lost)
 
 
 def discard_sample(key: jax.Array, ens: QuantumEnsemble, n: int,
@@ -266,7 +280,7 @@ def discard_sample(key: jax.Array, ens: QuantumEnsemble, n: int,
 
     log_w, psi = jax.lax.cond(ess < ess_threshold * B, do_resample, skip,
                               None)
-    return QuantumEnsemble(log_w, psi)
+    return QuantumEnsemble(log_w, psi, ens.lost_mass)
 
 
 def measure_sample(key: jax.Array, ens: QuantumEnsemble, n: int,
@@ -316,7 +330,7 @@ def measure_sample(key: jax.Array, ens: QuantumEnsemble, n: int,
 
     log_w, psi, outcomes = jax.lax.cond(
         ess < ess_threshold * B, do_resample, skip, None)
-    return QuantumEnsemble(log_w, psi), dist, outcomes
+    return QuantumEnsemble(log_w, psi, ens.lost_mass), dist, outcomes
 
 
 def ensemble_mixture(ens: QuantumEnsemble) -> np.ndarray:
