@@ -35,9 +35,10 @@ import numpy as np
 from qbot_tpu.ops.gates import controlled
 from qbot_tpu.tpu.circuit import Circuit, CircuitOp
 
-__all__ = ["Term", "WindowStep", "DiagStep", "FlipStep", "ContractStep",
-           "PairStep", "ReflectStep", "Plan", "compile_circuit",
-           "expand_pairs", "expand_reflections", "gate_as_diag",
+__all__ = ["Term", "WindowStep", "DiagStep", "FlipStep", "PhaseStep",
+           "ContractStep", "PairStep", "ReflectStep", "Plan",
+           "compile_circuit", "expand_pairs", "expand_reflections",
+           "expand_phases", "phase_as_diag", "gate_as_diag",
            "eigen_decompose_controlled", "decompose_spanning_swap"]
 
 
@@ -59,6 +60,11 @@ class WindowStep:
     # basis-state sign flips applied BEFORE this window's unitary, fused
     # into the window kernel so they cost no extra HBM pass
     pre_flips: tuple[int, ...] = ()
+    # controlled-phase factors applied BEFORE this window's unitary:
+    # each (qubits, z) multiplies an amplitude by z when ALL the qubits
+    # are 1 — fused into the window kernel as an in-register masked
+    # complex multiply, so a cross-window CZ/CPhase costs no HBM pass
+    pre_phases: tuple[tuple[tuple[int, ...], complex], ...] = ()
 
 
 @dataclass(frozen=True)
@@ -71,6 +77,26 @@ class DiagStep:
 class FlipStep:
     """Sign-flip of a single basis state (multi-controlled-Z): one scatter."""
     index: int
+
+
+@dataclass(frozen=True)
+class PhaseStep:
+    """Multiply by ``phase`` every amplitude whose ``qubits`` bits equal
+    the bits of ``pattern`` (bit k−1−j of ``pattern`` ↔ ``qubits[j]``,
+    matching the diag-vector index convention).
+
+    The normal form of any (multi-)controlled phase gate — in particular
+    every cross-window CZ/CPhase left by the CX → H·CZ·H and controlled-U
+    eigendecomposition rewrites (whose eigenvalue ordering may place the
+    phase at any diag index, hence the pattern).  Never executed
+    standalone on the hot path: ``_fuse_phases`` attaches it to the next
+    window/pair kernel, where it costs a few in-register VPU ops instead
+    of a full HBM pass (a standalone DiagStep pass measured 13 ms at
+    26 qubits — as much as a fused 128×128 window matmul pass).
+    """
+    qubits: tuple[int, ...]
+    phase: complex
+    pattern: int = -1                     # -1 = all qubits 1
 
 
 @dataclass(frozen=True)
@@ -123,8 +149,8 @@ class ContractStep:
     num_controls: int = 0
 
 
-Step = Union[WindowStep, DiagStep, FlipStep, ContractStep, PairStep,
-             ReflectStep]
+Step = Union[WindowStep, DiagStep, FlipStep, PhaseStep, ContractStep,
+             PairStep, ReflectStep]
 
 
 @dataclass
@@ -325,8 +351,19 @@ def compile_circuit(circ: Circuit, window: int = 7,
                     Term(tuple(q - start for q in targets),
                          np.diag(op.matrix).astype(np.complex128)))
             else:
+                d = np.asarray(op.matrix, np.complex128)
                 flush_overlapping(targets)
-                plan.steps.append(DiagStep(targets, op.matrix))
+                nontriv = np.flatnonzero(~np.isclose(d, 1.0, atol=1e-12))
+                if (nontriv.shape[0] == 1
+                        and abs(abs(d[nontriv[0]]) - 1.0) < 1e-12):
+                    # controlled-phase normal form (one unimodular entry
+                    # off 1): fuses into the next window kernel for free
+                    # instead of an HBM pass
+                    idx = int(nontriv[0])
+                    plan.steps.append(
+                        PhaseStep(targets, complex(d[idx]), idx))
+                else:
+                    plan.steps.append(DiagStep(targets, op.matrix))
             continue
 
         # gate op: fold controls into a block-diagonal matrix up front when
@@ -369,6 +406,7 @@ def compile_circuit(circ: Circuit, window: int = 7,
         flush(gi)
     plan.steps = merge_adjacent_diags(plan.steps)
     plan.steps = _detect_reflections(plan.steps, n)
+    plan.steps = _fuse_phases(plan.steps)
     plan.steps = _fuse_flips(plan.steps)
     if pair:
         plan.steps = _pair_windows(plan.steps, n)
@@ -520,7 +558,7 @@ def _pairable(a: Step, b: Step, n: int) -> bool:
     """
     if not (isinstance(a, WindowStep) and isinstance(b, WindowStep)):
         return False
-    if a.start + a.width != b.start or b.pre_flips:
+    if a.start + a.width != b.start or b.pre_flips or b.pre_phases:
         return False
     if a.width + b.width > 14:          # fused tile beyond 128×128
         return False
@@ -555,6 +593,68 @@ def expand_pairs(steps):
             yield step
 
 
+def _fuse_phases(steps: list[Step]) -> list[Step]:
+    """Attach each PhaseStep to the next WindowStep as a fused pre-phase.
+
+    Controlled phases are diagonal, so consecutive ones commute with each
+    other (and with FlipSteps) but not with a later unitary — each run of
+    PhaseSteps may only fuse into the *first* subsequent window.  Phases
+    with no fusable successor stay standalone (executors apply them as one
+    masked elementwise pass).
+    """
+    out: list[Step] = []
+    pending: list[PhaseStep] = []
+    for step in steps:
+        if isinstance(step, PhaseStep):
+            pending.append(step)
+            continue
+        if pending and isinstance(step, WindowStep):
+            step = WindowStep(
+                step.start, step.width, step.terms, step.pre_flips,
+                step.pre_phases + tuple((p.qubits, p.phase, p.pattern)
+                                        for p in pending))
+            pending.clear()
+        elif pending and not isinstance(step, FlipStep):
+            # flips are diagonal too: let a phase run pass over them so
+            # both can fuse into the same following window
+            out.extend(pending)
+            pending.clear()
+        out.append(step)
+    out.extend(pending)
+    return out
+
+
+def phase_as_diag(step: PhaseStep) -> DiagStep:
+    """Equivalent DiagStep (for executors without in-kernel phase fusion)."""
+    k = len(step.qubits)
+    d = np.ones(2**k, np.complex128)
+    d[step.pattern if step.pattern >= 0 else 2**k - 1] = step.phase
+    return DiagStep(tuple(step.qubits), d)
+
+
+def expand_phases(steps):
+    """Iterate steps with fused pre-phases re-materialised as DiagSteps
+    (and standalone PhaseSteps converted), for executors that apply
+    diagonals as their own pass (density / sharded / complex oracle)."""
+    for step in steps:
+        if isinstance(step, PhaseStep):
+            yield phase_as_diag(step)
+        elif isinstance(step, WindowStep) and step.pre_phases:
+            for qubits, z, pat in step.pre_phases:
+                yield phase_as_diag(PhaseStep(qubits, z, pat))
+            yield WindowStep(step.start, step.width, step.terms,
+                             step.pre_flips)
+        elif isinstance(step, PairStep) and step.first.pre_phases:
+            for qubits, z, pat in step.first.pre_phases:
+                yield phase_as_diag(PhaseStep(qubits, z, pat))
+            yield PairStep(WindowStep(step.first.start, step.first.width,
+                                      step.first.terms,
+                                      step.first.pre_flips),
+                           step.second)
+        else:
+            yield step
+
+
 def _fuse_flips(steps: list[Step]) -> list[Step]:
     """Attach each FlipStep to the next WindowStep or ReflectStep as a
     fused pre-flip.
@@ -572,7 +672,8 @@ def _fuse_flips(steps: list[Step]) -> list[Step]:
             continue
         if pending and isinstance(step, WindowStep):
             step = WindowStep(step.start, step.width, step.terms,
-                              step.pre_flips + tuple(pending))
+                              step.pre_flips + tuple(pending),
+                              step.pre_phases)
             pending.clear()
         elif pending and isinstance(step, ReflectStep):
             step = ReflectStep(

@@ -99,14 +99,78 @@ def _interpret() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# fused controlled-phase factors
+#
+# Each phase entry is (re, im, scalar_bits, iota_bits) in KERNEL-local
+# coordinates: ``scalar_bits`` is a tuple of (program_id axis, bit position)
+# pairs and ``iota_bits`` a tuple of (iota dimension, bit position) pairs.
+# The amplitude is multiplied by (re + i·im) when every listed bit is 1 —
+# a handful of in-register VPU ops, replacing a standalone diagonal HBM
+# pass (measured 13 ms/pass at 26 qubits — as costly as a window matmul).
+# ---------------------------------------------------------------------------
+
+def _apply_phases(pr, pi, phases, iotas):
+    """Multiply (pr, pi) by each controlled-phase factor's masked value.
+
+    Each bit spec carries ``want``: the factor triggers where the bit
+    EQUALS want (controlled phases conditioned on arbitrary patterns).
+    """
+    for re, im, scalar_bits, iota_bits in phases:
+        mask = jnp.ones_like(pr)
+        here = 1
+        for axis, pos, want in scalar_bits:
+            bit = (pl.program_id(axis) >> pos) & 1
+            here = here * (bit if want else 1 - bit)
+        for dim, pos, want in iota_bits:
+            bit = ((iotas[dim] >> pos) & 1).astype(pr.dtype)
+            mask = mask * (bit if want else 1.0 - bit)
+        mask = mask * here.astype(pr.dtype) if scalar_bits else mask
+        fr = 1.0 + (re - 1.0) * mask
+        fi = im * mask
+        pr, pi = pr * fr - pi * fi, pr * fi + pi * fr
+    return pr, pi
+
+
+def _split_phase_bits(qubits, pattern: int, n: int, dim_ranges):
+    """Decompose global qubit positions into kernel coordinates.
+
+    ``dim_ranges``: ordered [(kind, key, width_log2), ...] covering the
+    full index from most-significant to least-significant; kind is
+    'scalar' (key = program_id axis) or 'iota' (key = iota dim).
+    ``pattern``: required bit per qubit (bit k−1−j ↔ qubits[j]; −1 = all
+    ones).  Returns (scalar_bits, iota_bits) of (key, pos, want) triples.
+    """
+    k = len(qubits)
+    scalar_bits, iota_bits = [], []
+    for j, q in enumerate(qubits):
+        want = 1 if pattern < 0 else (pattern >> (k - 1 - j)) & 1
+        p = n - 1 - q                      # bit position from LSB
+        off = sum(w for _, _, w in dim_ranges)
+        for kind, key, width in dim_ranges:
+            off -= width
+            if p >= off:
+                local = p - off
+                if kind == "scalar":
+                    scalar_bits.append((key, local, want))
+                else:
+                    iota_bits.append((key, local, want))
+                break
+    return tuple(scalar_bits), tuple(iota_bits)
+
+
+# ---------------------------------------------------------------------------
 # left-multiply kernel: out[., i, b] = Σ_j W[i, j] · p[., j, b]
 # ---------------------------------------------------------------------------
 
-def _left_kernel_body(w_ref, p_ref, o_ref, *, flips, D, block_b):
+def _left_kernel_body(w_ref, p_ref, o_ref, *, flips, phases, D, block_b):
     wr = w_ref[0]
     wi = w_ref[1]
     pr = p_ref[0, 0]
     pi = p_ref[1, 0]
+    if phases:
+        row = jax.lax.broadcasted_iota(jnp.int32, (D, block_b), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (D, block_b), 1)
+        pr, pi = _apply_phases(pr, pi, phases, (row, col))
     if flips:
         # fused pre-flip: negate the flipped basis states in the input tile
         row = jax.lax.broadcasted_iota(jnp.int32, (D, block_b), 0)
@@ -127,13 +191,13 @@ def _left_kernel_body(w_ref, p_ref, o_ref, *, flips, D, block_b):
     o_ref[1, 0] = ri + ir
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "flips"))
-def _left_multiply(w, p, block_b: int, flips=()):
+@functools.partial(jax.jit, static_argnames=("block_b", "flips", "phases"))
+def _left_multiply(w, p, block_b: int, flips=(), phases=()):
     """w: (2, D, D); p: (2, A, D, B) → (2, A, D, B)."""
     _, A, D, B = p.shape
     grid = (A, pl.cdiv(B, block_b))
-    kernel = functools.partial(_left_kernel_body, flips=flips, D=D,
-                               block_b=block_b)
+    kernel = functools.partial(_left_kernel_body, flips=flips,
+                               phases=phases, D=D, block_b=block_b)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -162,11 +226,15 @@ def _left_multiply(w, p, block_b: int, flips=()):
 # axon v5e backend (measured, benchmarks/diag_probe2.py).
 # ---------------------------------------------------------------------------
 
-def _right_kernel_body(wt_ref, p_ref, o_ref, *, flips, D, block_a):
+def _right_kernel_body(wt_ref, p_ref, o_ref, *, flips, phases, D, block_a):
     wr_t = wt_ref[0]
     wi_t = wt_ref[1]
     pr = p_ref[0]
     pi = p_ref[1]
+    if phases:
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_a, D), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_a, D), 1)
+        pr, pi = _apply_phases(pr, pi, phases, (row, col))
     if flips:
         row = jax.lax.broadcasted_iota(jnp.int32, (block_a, D), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (block_a, D), 1)
@@ -185,13 +253,13 @@ def _right_kernel_body(wt_ref, p_ref, o_ref, *, flips, D, block_a):
     o_ref[1] = ri + ir
 
 
-@functools.partial(jax.jit, static_argnames=("block_a", "flips"))
-def _right_multiply(wt, p, block_a: int, flips=()):
+@functools.partial(jax.jit, static_argnames=("block_a", "flips", "phases"))
+def _right_multiply(wt, p, block_a: int, flips=(), phases=()):
     """wt: (2, D, D) pre-transposed (Wᵀ planar); p: (2, A, D) → (2, A, D)."""
     _, A, D = p.shape
     grid = (pl.cdiv(A, block_a),)
-    kernel = functools.partial(_right_kernel_body, flips=flips, D=D,
-                               block_a=block_a)
+    kernel = functools.partial(_right_kernel_body, flips=flips,
+                               phases=phases, D=D, block_a=block_a)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -219,7 +287,8 @@ def _right_multiply(wt, p, block_a: int, flips=()):
 # traffic of separate window steps).
 # ---------------------------------------------------------------------------
 
-def _pair_b1_body(w1_ref, w2t_ref, p_ref, o_ref, *, flips, D1, D2, BA):
+def _pair_b1_body(w1_ref, w2t_ref, p_ref, o_ref, *, flips, phases, D1, D2,
+                  BA):
     """Trailing pair (B == 1): tile holds BA (D1, D2) matrices; each is
     out = W1 · X · W2ᵀ in planar-complex arithmetic (8 MXU matmuls).
 
@@ -231,6 +300,17 @@ def _pair_b1_body(w1_ref, w2t_ref, p_ref, o_ref, *, flips, D1, D2, BA):
     for j in range(BA):
         xr = p_ref[0, j]
         xi = p_ref[1, j]
+        if phases:
+            # phase entries carry (.., row_bits_of_a_offset) where the
+            # a-offset within the tile is this loop's static j: fold those
+            # bits statically, keep only entries whose j-bits match
+            row = jax.lax.broadcasted_iota(jnp.int32, (D1, D2), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (D1, D2), 1)
+            live = []
+            for re, im, scalar_bits, iota_bits, j_bits in phases:
+                if all(((j >> pos) & 1) == want for pos, want in j_bits):
+                    live.append((re, im, scalar_bits, iota_bits))
+            xr, xi = _apply_phases(xr, xi, tuple(live), (row, col))
         row_flips = [(d1, d2) for t_star, off, d1, d2 in flips if off == j]
         if row_flips:
             row = jax.lax.broadcasted_iota(jnp.int32, (D1, D2), 0)
@@ -254,13 +334,13 @@ def _pair_b1_body(w1_ref, w2t_ref, p_ref, o_ref, *, flips, D1, D2, BA):
                        + _dot(yi, w2rt))
 
 
-@functools.partial(jax.jit, static_argnames=("flips",))
-def _pair_b1(w1, w2t, p, flips=()):
+@functools.partial(jax.jit, static_argnames=("flips", "phases"))
+def _pair_b1(w1, w2t, p, flips=(), phases=()):
     """w1: (2, D1, D1); w2t: (2, D2, D2) pre-transposed; p: (2, A, D1, D2)."""
     _, A, D1, D2 = p.shape
     BA = min(A, 8)
-    kernel = functools.partial(_pair_b1_body, flips=flips, D1=D1, D2=D2,
-                               BA=BA)
+    kernel = functools.partial(_pair_b1_body, flips=flips, phases=phases,
+                               D1=D1, D2=D2, BA=BA)
     return pl.pallas_call(
         kernel,
         grid=(pl.cdiv(A, BA),),
@@ -282,13 +362,19 @@ def _pair_b1(w1, w2t, p, flips=()):
     )(w1, w2t, p)
 
 
-def _pair_bt_body(w1_ref, w2_ref, p_ref, o_ref, *, flips, D1, D2, block_b):
+def _pair_bt_body(w1_ref, w2_ref, p_ref, o_ref, *, flips, phases, D1, D2,
+                  block_b):
     """Middle pair (B >= 128): tile (D1, D2, Bt); W1 contracts the leading
     axis as one wide matmul, W2 the middle axis via a short D1-row loop."""
     w1r, w1i = w1_ref[0], w1_ref[1]
     w2r, w2i = w2_ref[0], w2_ref[1]
     xr = p_ref[0, 0]
     xi = p_ref[1, 0]
+    if phases:
+        d1c = jax.lax.broadcasted_iota(jnp.int32, (D1, D2, block_b), 0)
+        d2c = jax.lax.broadcasted_iota(jnp.int32, (D1, D2, block_b), 1)
+        bc = jax.lax.broadcasted_iota(jnp.int32, (D1, D2, block_b), 2)
+        xr, xi = _apply_phases(xr, xi, phases, (d1c, d2c, bc))
     if flips:
         d1c = jax.lax.broadcasted_iota(jnp.int32, (D1, D2, block_b), 0)
         d2c = jax.lax.broadcasted_iota(jnp.int32, (D1, D2, block_b), 1)
@@ -316,13 +402,13 @@ def _pair_bt_body(w1_ref, w2_ref, p_ref, o_ref, *, flips, D1, D2, block_b):
         o_ref[1, 0, j] = _dot(w2r, ai) + _dot(w2i, ar)
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "flips"))
-def _pair_bt(w1, w2, p, block_b: int, flips=()):
+@functools.partial(jax.jit, static_argnames=("block_b", "flips", "phases"))
+def _pair_bt(w1, w2, p, block_b: int, flips=(), phases=()):
     """w1: (2, D1, D1); w2: (2, D2, D2); p: (2, A, D1, D2, B)."""
     _, A, D1, D2, B = p.shape
     grid = (A, pl.cdiv(B, block_b))
-    kernel = functools.partial(_pair_bt_body, flips=flips, D1=D1, D2=D2,
-                               block_b=block_b)
+    kernel = functools.partial(_pair_bt_body, flips=flips, phases=phases,
+                               D1=D1, D2=D2, block_b=block_b)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -507,13 +593,35 @@ def planar_reflect_dot(psi, a, b):
     return _reflect_dot(a, b, psi)
 
 
+def _phase_entries(pre_phases, n: int, dim_ranges):
+    """Static kernel phase specs from global (qubits, z, pattern) factors."""
+    return tuple(
+        (float(np.real(z)), float(np.imag(z)))
+        + _split_phase_bits(qubits, pat, n, dim_ranges)
+        for qubits, z, pat in pre_phases)
+
+
+def _apply_phases_xla(psi, n: int, pre_phases):
+    """Fallback: apply controlled-phase factors as grouped diag passes."""
+    from qbot_tpu.tpu.compiler import PhaseStep, phase_as_diag
+    from qbot_tpu.tpu.planar import _apply_diag_planar
+
+    for qubits, z, pat in pre_phases:
+        psi = _apply_diag_planar(psi, n,
+                                 phase_as_diag(PhaseStep(qubits, z, pat)))
+    return psi
+
+
 def planar_pair_window_apply(psi, n: int, s1: int, w1: int, s2: int, w2: int,
-                             W1r, W1i, W2r, W2i, pre_flips=()):
+                             W1r, W1i, W2r, W2i, pre_flips=(),
+                             pre_phases=()):
     """Apply two contiguous disjoint window unitaries in one HBM pass.
 
-    ``pre_flips`` are basis-state sign flips applied before BOTH unitaries
-    (they were fused onto the first window).  Falls back to two sequential
-    window applications when Pallas is off or the geometry is unsupported.
+    ``pre_flips`` are basis-state sign flips and ``pre_phases``
+    controlled-phase factors (global (qubits, z)), both applied before
+    BOTH unitaries (they were fused onto the first window).  Falls back
+    to two sequential window applications when Pallas is off or the
+    geometry is unsupported.
     """
     if s1 + w1 != s2:
         raise ValueError("pair windows must be qubit-contiguous")
@@ -527,35 +635,60 @@ def planar_pair_window_apply(psi, n: int, s1: int, w1: int, s2: int, w2: int,
             w2ts = jnp.stack([W2r.T, W2i.T])
             p = psi.reshape(2, A, D1, D2)
             BA = min(A, 8)
+            lba = BA.bit_length() - 1
             flips = tuple(((m >> (w1 + w2)) // BA, (m >> (w1 + w2)) % BA,
                            (m >> w2) & (D1 - 1), m & (D2 - 1))
                           for m in pre_flips)
-            return _pair_b1(w1s, w2ts, p, flips).reshape(psi.shape)
+            # per-entry: (re, im, scalar_bits, iota_bits, j_bits) with the
+            # in-tile row offset bits (the kernel's static python loop j)
+            # carried separately
+            phases = []
+            for qubits, z, pat in pre_phases:
+                sc, io = _split_phase_bits(
+                    qubits, pat, n,
+                    [("scalar", 0, s1 - lba), ("iota", None, lba),
+                     ("iota", 0, w1), ("iota", 1, w2)])
+                j_bits = tuple((pos, want) for key, pos, want in io
+                               if key is None)
+                io = tuple(e for e in io if e[0] is not None)
+                phases.append((float(np.real(z)), float(np.imag(z)),
+                               sc, io, j_bits))
+            return _pair_b1(w1s, w2ts, p, flips,
+                            tuple(phases)).reshape(psi.shape)
         w2s = jnp.stack([W2r, W2i])
         if B >= 128 and D1 <= 32:
             # block_b 256 compiled in >100 s on the axon backend; 128 in ~9 s
             block_b = min(B, 128)
             lb = B.bit_length() - 1
+            lbb = block_b.bit_length() - 1
             p = psi.reshape(2, A, D1, D2, B)
             flips = tuple(
                 (m >> (w1 + w2 + lb), (m & (B - 1)) // block_b,
                  (m >> (w2 + lb)) & (D1 - 1), (m >> lb) & (D2 - 1),
                  (m & (B - 1)) % block_b)
                 for m in pre_flips)
-            return _pair_bt(w1s, w2s, p, block_b, flips).reshape(psi.shape)
+            phases = _phase_entries(
+                pre_phases, n,
+                [("scalar", 0, s1), ("iota", 0, w1), ("iota", 1, w2),
+                 ("scalar", 1, lb - lbb), ("iota", 2, lbb)])
+            return _pair_bt(w1s, w2s, p, block_b, flips,
+                            phases).reshape(psi.shape)
 
+    if pre_phases:
+        psi = _apply_phases_xla(psi, n, pre_phases)
     psi = planar_window_apply(psi, n, s1, w1, W1r, W1i, pre_flips)
     return planar_window_apply(psi, n, s2, w2, W2r, W2i)
 
 
 def planar_window_apply(psi, n: int, start: int, width: int, Wr, Wi,
-                        pre_flips=()):
+                        pre_flips=(), pre_phases=()):
     """Apply a planar window unitary to a (2, 2^n) planar state.
 
     ``pre_flips``: basis-state indices whose sign is flipped *before* the
-    unitary (Grover-style oracles); fused into the Pallas kernel at zero
-    extra HBM cost.  Chooses the Pallas kernel when enabled and the
-    geometry allows; otherwise falls back to the XLA einsum formulation.
+    unitary (Grover-style oracles); ``pre_phases``: controlled-phase
+    factors (qubits, z).  Both fused into the Pallas kernel at zero extra
+    HBM cost.  Chooses the Pallas kernel when enabled and the geometry
+    allows; otherwise falls back to the XLA einsum formulation.
     """
     D = 2**width
     a = 2**start
@@ -566,10 +699,15 @@ def planar_window_apply(psi, n: int, start: int, width: int, Wr, Wi,
             wt = jnp.stack([Wr.T, Wi.T])
             p = psi.reshape(2, a, D)
             block_a = min(a, max(8, 4096 // max(D // 128, 1)))
+            lba = block_a.bit_length() - 1
             flips = tuple(
                 ((m // D) // block_a, (m // D) % block_a, m % D)
                 for m in pre_flips)
-            out = _right_multiply(wt, p, block_a, flips)
+            phases = _phase_entries(
+                pre_phases, n,
+                [("scalar", 0, start - lba), ("iota", 0, lba),
+                 ("iota", 1, width)])
+            out = _right_multiply(wt, p, block_a, flips, phases)
             return out.reshape(psi.shape)
         w = jnp.stack([Wr, Wi])
         if B >= 128:
@@ -577,14 +715,22 @@ def planar_window_apply(psi, n: int, start: int, width: int, Wr, Wi,
             # D=32 tiles with 2048 lanes made Mosaic compile for ~460 s on
             # the axon backend; 512 lanes compile in ~1 s (diag_probe2.py)
             block_b = min(B, 512 if D <= 32 else 2048)
+            lb = B.bit_length() - 1
+            lbb = block_b.bit_length() - 1
             flips = tuple(
                 (m // (D * B), (m % B) // block_b,
                  (m % (D * B)) // B, (m % B) % block_b)
                 for m in pre_flips)
-            out = _left_multiply(w, p, block_b, flips)
+            phases = _phase_entries(
+                pre_phases, n,
+                [("scalar", 0, start), ("iota", 0, width),
+                 ("scalar", 1, lb - lbb), ("iota", 1, lbb)])
+            out = _left_multiply(w, p, block_b, flips, phases)
             return out.reshape(psi.shape)
         # awkward geometry (tiny B > 1): fall through to XLA
 
+    if pre_phases:
+        psi = _apply_phases_xla(psi, n, pre_phases)
     if pre_flips:
         flat = psi
         for m in pre_flips:

@@ -35,10 +35,12 @@ from qbot_tpu.tpu.compiler import (
     DiagStep,
     FlipStep,
     PairStep,
+    PhaseStep,
     Plan,
     ReflectStep,
     Term,
     WindowStep,
+    phase_as_diag,
 )
 
 __all__ = ["zero_state_planar", "to_planar", "from_planar",
@@ -164,7 +166,7 @@ def _apply_window_planar(psi, n: int, step: WindowStep, params):
     else:
         Wr, Wi = fold_window_planar(step, params, psi.dtype)
     return planar_window_apply(psi, n, step.start, step.width, Wr, Wi,
-                               step.pre_flips)
+                               step.pre_flips, step.pre_phases)
 
 
 def _fold_planar_pair(step: WindowStep, params, dtype):
@@ -183,7 +185,7 @@ def _apply_pair_planar(psi, n: int, step: PairStep, params):
     return planar_pair_window_apply(
         psi, n, step.first.start, step.first.width,
         step.second.start, step.second.width,
-        W1r, W1i, W2r, W2i, step.first.pre_flips)
+        W1r, W1i, W2r, W2i, step.first.pre_flips, step.first.pre_phases)
 
 
 def reflect_component(factors, index: int) -> complex:
@@ -310,15 +312,48 @@ def _apply_reflect_planar(psi, n: int, step: ReflectStep):
     return out
 
 
-def _apply_diag_planar(psi, n: int, step: DiagStep):
-    k = len(step.targets)
-    d = np.asarray(step.diag, dtype=np.complex128)
+def _diag_grouped_views(n: int, targets, diag):
+    """(state view shape, broadcast dr, broadcast di) for a diagonal step.
+
+    Groups the n qubit axes into runs of consecutive targets separated by
+    gap blocks, so the state reshapes to a FEW large dims instead of
+    (2,)*n — a (2,)*n view at 26 qubits made XLA materialise a tiled
+    T(2,128) layout (64× padding → 32 GB alloc, compile-time OOM on TPU).
+    """
+    k = len(targets)
+    order = sorted(range(k), key=lambda j: targets[j])
+    srt = [targets[j] for j in order]
+    d = np.asarray(diag, dtype=np.complex128).reshape((2,) * k)
+    d = np.transpose(d, order)            # axis i ↔ srt[i]
+
+    runs: list[tuple[int, int]] = []      # (first qubit, length)
+    for q in srt:
+        if runs and q == runs[-1][0] + runs[-1][1]:
+            runs[-1] = (runs[-1][0], runs[-1][1] + 1)
+        else:
+            runs.append((q, 1))
+
+    view: list[int] = [2]                 # leading planar axis
+    bshape: list[int] = [1]
+    pos = 0
+    for start, length in runs:
+        if start > pos:                   # gap block
+            view.append(2 ** (start - pos))
+            bshape.append(1)
+        view.append(2 ** length)
+        bshape.append(2 ** length)
+        pos = start + length
+    if pos < n:                           # tail block
+        view.append(2 ** (n - pos))
+        bshape.append(1)
+    d = d.reshape(bshape[1:])
     dr, di = _planar_pair(d)
-    shape = (2,) * k + (1,) * (n - k)
-    move = (list(range(k)), list(step.targets))
-    dr = np.moveaxis(dr.reshape(shape), *move)
-    di = np.moveaxis(di.reshape(shape), *move)
-    t = psi.reshape((2,) + (2,) * n)
+    return tuple(view), dr, di
+
+
+def _apply_diag_planar(psi, n: int, step: DiagStep):
+    view, dr, di = _diag_grouped_views(n, step.targets, step.diag)
+    t = psi.reshape(view)
     pr, pi = t[0], t[1]
     out_r = dr * pr - di * pi
     out_i = dr * pi + di * pr
@@ -361,6 +396,8 @@ def apply_plan_planar(psi: jnp.ndarray, plan: Plan, params=None) -> jnp.ndarray:
             psi = _apply_reflect_planar(psi, n, step)
         elif isinstance(step, DiagStep):
             psi = _apply_diag_planar(psi, n, step)
+        elif isinstance(step, PhaseStep):
+            psi = _apply_diag_planar(psi, n, phase_as_diag(step))
         elif isinstance(step, FlipStep):
             psi = psi.at[:, step.index].multiply(-1)
         else:
@@ -418,9 +455,9 @@ def apply_plan_density_planar(rho: jnp.ndarray, plan: Plan,
     d = 2**n
     shape = rho.shape
     flat = rho.reshape(2, -1)
-    from qbot_tpu.tpu.compiler import expand_reflections
+    from qbot_tpu.tpu.compiler import expand_phases, expand_reflections
 
-    for step in expand_reflections(plan.steps):
+    for step in expand_phases(expand_reflections(plan.steps)):
         if isinstance(step, WindowStep):
             if step.pre_flips:
                 flat = _density_flips(flat.reshape(2, d, d),
@@ -533,9 +570,13 @@ def _make_scanned_reflect_runner(step: ReflectStep, repeats: int,
                  for m in step.pre_flips]
 
     def sign_pattern(dtype):
-        """(H,1)·(1,T) mask products — fused, never materialised."""
+        """(H,1)·(1,T) mask products — fused, never materialised.
+
+        The barrier keeps XLA from constant-folding the iota comparisons
+        into an (H, T) literal (state-sized; dominates compile time)."""
         row = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        row, col = jax.lax.optimization_barrier((row, col))
         sign = jnp.asarray(1.0, dtype)
         for _, r0, t0, _ in flip_info:
             hit = ((row == r0).astype(dtype) * (col == t0).astype(dtype))
@@ -557,9 +598,15 @@ def _make_scanned_reflect_runner(step: ReflectStep, repeats: int,
         shape = psi.shape
         pr = psi[0].reshape(H, T)
         pi = psi[1].reshape(H, T)
+        # The factor tables are trace constants; without a barrier XLA
+        # constant-folds every (H, T)-shaped product below into full
+        # state-sized literals at COMPILE time — measured 184 s compiles at
+        # 26 qubits (BENCH_r01) vs ~6 s with the barrier.  Barriered, the
+        # broadcasts fuse into the elementwise passes in-register instead.
+        ar, ai, br, bi = jax.lax.optimization_barrier((Ar, Ai, Br, Bi))
         # prologue: c₀ = ⟨v|Fψ₀⟩ (the only standalone read pass)
-        vr = Ar * Br - Ai * Bi
-        vi = Ar * Bi + Ai * Br
+        vr = ar * br - ai * bi
+        vi = ar * bi + ai * br
         cr = jnp.sum(vr * pr + vi * pi)
         ci = jnp.sum(vr * pi - vi * pr)
         cr, ci = correct_c(cr, ci, pr, pi)
@@ -567,16 +614,16 @@ def _make_scanned_reflect_runner(step: ReflectStep, repeats: int,
 
         def body(carry, _):
             pr, pi, cr, ci = carry
-            qr = cr * Br - ci * Bi
-            qi = cr * Bi + ci * Br
+            qr = cr * br - ci * bi
+            qi = cr * bi + ci * br
             # out = Fψ − 2c·(A⊗B): one fused pass per planar component,
             # each also emitting its two partial sums for the next c
-            outr = sign * pr - 2.0 * (Ar * qr - Ai * qi)
-            outi = sign * pi - 2.0 * (Ar * qi + Ai * qr)
-            s_rr = jnp.sum((Ar * Br - Ai * Bi) * outr)
-            s_ir = jnp.sum((Ar * Bi + Ai * Br) * outr)
-            s_ri = jnp.sum((Ar * Br - Ai * Bi) * outi)
-            s_ii = jnp.sum((Ar * Bi + Ai * Br) * outi)
+            outr = sign * pr - 2.0 * (ar * qr - ai * qi)
+            outi = sign * pi - 2.0 * (ar * qi + ai * qr)
+            s_rr = jnp.sum((ar * br - ai * bi) * outr)
+            s_ir = jnp.sum((ar * bi + ai * br) * outr)
+            s_ri = jnp.sum((ar * br - ai * bi) * outi)
+            s_ii = jnp.sum((ar * bi + ai * br) * outi)
             ncr, nci = correct_c(s_rr + s_ii, s_ri - s_ir, outr, outi)
             return (outr, outi, ncr, nci), None
 

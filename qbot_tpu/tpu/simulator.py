@@ -38,6 +38,7 @@ from qbot_tpu.tpu.compiler import (
     WindowStep,
     compile_circuit,
     expand_pairs,
+    expand_phases,
     expand_reflections,
 )
 
@@ -173,7 +174,7 @@ def _apply_reflect(psi: jnp.ndarray, step: ReflectStep):
 def apply_plan(psi: jnp.ndarray, plan: Plan, params=None) -> jnp.ndarray:
     """Run a compiled plan over a statevector (traceable)."""
     n = plan.n
-    for step in expand_pairs(plan.steps):
+    for step in expand_pairs(expand_phases(plan.steps)):
         if isinstance(step, WindowStep):
             psi = _apply_window(psi, n, step, params)
         elif isinstance(step, ReflectStep):
@@ -192,7 +193,7 @@ def apply_plan_density(rho: jnp.ndarray, plan: Plan, params=None) -> jnp.ndarray
     """Run a compiled plan over a density matrix: ρ → U ρ U† step by step."""
     n = plan.n
     flat = rho.reshape(-1)          # rank-2n tensor flattened
-    for step in expand_pairs(expand_reflections(plan.steps)):
+    for step in expand_pairs(expand_phases(expand_reflections(plan.steps))):
         if isinstance(step, WindowStep):
             if step.pre_flips:
                 d = 2**n

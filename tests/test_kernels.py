@@ -154,3 +154,84 @@ class TestPairKernels:
         ref = np.asarray(apply_plan(zero_state(n, jnp.complex128), paired))
         np.testing.assert_allclose(from_planar(np.asarray(got)), ref,
                                    atol=1e-4)
+
+
+class TestPhaseFusion:
+    """Cross-window controlled phases fuse into kernels (no diag pass)."""
+
+    def _brickwork(self, n, layers=2, seed=5):
+        rng = np.random.default_rng(seed)
+        c = Circuit(n)
+        for layer in range(layers):
+            for q in range(n):
+                z = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+                qm, r = np.linalg.qr(z)
+                c.gate(qm * np.conj(r.diagonal() / np.abs(r.diagonal())),
+                       [q])
+            for q in range(layer % 2, n - 1, 2):
+                c.cx(q, q + 1)
+            c.gate(np.diag([1.0, np.exp(0.3j)]).astype(complex), [0],
+                   controls=[n - 1])        # max-span controlled phase
+        return c
+
+    def test_no_standalone_diag_steps(self):
+        from qbot_tpu.tpu.compiler import DiagStep, PhaseStep, compile_circuit
+
+        plan = compile_circuit(self._brickwork(12), window=4)
+        kinds = [type(s).__name__ for s in plan.steps]
+        assert "DiagStep" not in kinds
+        # every cross-window CZ/CPhase fused into a window's pre_phases
+        from qbot_tpu.tpu.compiler import PairStep, WindowStep
+        fused = sum(len(s.pre_phases) for s in plan.steps
+                    if isinstance(s, WindowStep))
+        fused += sum(len(s.first.pre_phases) for s in plan.steps
+                     if isinstance(s, PairStep))
+        standalone = sum(isinstance(s, PhaseStep) for s in plan.steps)
+        assert fused + standalone > 0
+        assert fused > 0
+
+    @pytest.mark.parametrize("n,window", [(10, 3), (11, 4), (12, 5)])
+    def test_planar_kernels_match_simulator(self, interpret_kernels, n,
+                                            window):
+        """Fused phases through every kernel geometry vs the complex
+        oracle (interpret mode runs the real kernel bodies on CPU)."""
+        circ = self._brickwork(n)
+        plan = compile_circuit(circ, window=window)
+        psi0 = _rand_planar(n, seed=n)
+        planar = jnp.asarray(np.stack([psi0.real, psi0.imag]),
+                             dtype=jnp.float32)
+        got = from_planar(np.asarray(apply_plan_planar(planar, plan)))
+        want = np.asarray(apply_plan(jnp.asarray(psi0), plan))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_xla_fallback_matches(self):
+        kernels.set_kernel_mode("off")
+        try:
+            circ = self._brickwork(10)
+            plan = compile_circuit(circ, window=3)
+            psi0 = _rand_planar(10, seed=3)
+            planar = jnp.asarray(np.stack([psi0.real, psi0.imag]),
+                                 dtype=jnp.float32)
+            got = from_planar(np.asarray(apply_plan_planar(planar, plan)))
+            want = np.asarray(apply_plan(jnp.asarray(psi0), plan))
+            np.testing.assert_allclose(got, want, atol=2e-5)
+        finally:
+            kernels.set_kernel_mode("auto")
+
+    def test_density_expansion_matches(self):
+        from qbot_tpu.tpu.planar import (
+            apply_plan_density_planar,
+            zero_density_planar,
+        )
+        from qbot_tpu.tpu.simulator import apply_plan_density
+
+        n = 6
+        circ = self._brickwork(n)
+        plan = compile_circuit(circ, window=3)
+        rho = np.asarray(apply_plan_density_planar(
+            zero_density_planar(n), plan))
+        got = rho[0] + 1j * rho[1]
+        rho0 = jnp.zeros((2**n, 2**n), dtype=jnp.complex64)
+        rho0 = rho0.at[0, 0].set(1.0)
+        want = np.asarray(apply_plan_density(rho0, plan)).reshape(2**n, 2**n)
+        np.testing.assert_allclose(got, want, atol=2e-5)

@@ -77,16 +77,22 @@ class TestCompiler:
         plan_unpaired = compile_circuit(c, window=7, pair=False)
         assert plan_unpaired.num_passes == 2
 
-    def test_cross_window_controlled_gate_becomes_diag(self):
+    def test_cross_window_controlled_gate_becomes_phase(self):
         # controlled gates never contract across windows: CX rewrites to
-        # H · controlled-Z(diag) · H, so the plan is windows + one DiagStep
+        # H · controlled-Z · H, and the controlled-Z fuses into a window
+        # kernel as a pre-phase factor (zero extra HBM passes)
         c = Circuit(10).h(0).cx(0, 9)
         plan = compile_circuit(c, window=7)
         kinds = [type(s).__name__ for s in plan.steps]
         assert "ContractStep" not in kinds
-        from qbot_tpu.tpu.compiler import expand_pairs
-        assert any(type(s).__name__ == "DiagStep"
-                   for s in expand_pairs(plan.steps))
+        assert "DiagStep" not in kinds
+        from qbot_tpu.tpu.compiler import PairStep, PhaseStep, WindowStep
+        fused = sum(len(s.pre_phases) for s in plan.steps
+                    if isinstance(s, WindowStep))
+        fused += sum(len(s.first.pre_phases) for s in plan.steps
+                     if isinstance(s, PairStep))
+        standalone = sum(isinstance(s, PhaseStep) for s in plan.steps)
+        assert fused + standalone >= 1
 
     def test_cross_window_generic_gate_falls_back(self):
         # a generic (non-controlled, non-swap) 2q unitary across windows
