@@ -1,13 +1,26 @@
 """Benchmark: gate-applications/s on one chip (BASELINE north-star metric).
 
-Runs Grover search at 26 qubits on the TPU statevector engine (window-fused
-plan under lax.scan) and reports logical gate applications per second.
+Two workloads at 26 qubits on the TPU statevector engine:
+
+* **Grover** (headline, matches BENCH_r01): the compiler's structural
+  Householder-reflection detection collapses each iteration to ONE fused
+  HBM pass (scanned XLA loop — measured faster than any kernel here).
+* **General circuit**: a 4-layer brickwork of random SU(2) gates + CX
+  entanglers, the path every non-Grover program takes — pair-fused
+  window matmuls on the Pallas kernels with cross-window controlled
+  phases fused in-register.  Also timed with the kernels disabled, so the
+  JSON records the Pallas-vs-XLA-fallback ratio on real hardware.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 baseline is the same-task, same-qubit-count dense NumPy contraction path —
 the strongest CPU formulation of the reference's math (the reference's own
 O(8^n) full-space-operator design cannot represent 26 qubits at all; its
 ceiling is ~13-14 qubits, SURVEY.md §6).
+
+Compilation uses the persistent cache (qbot_tpu.utils.compile_cache):
+axon remote compiles cost minutes of shared-service latency, cache hits
+~0.3 s; the JSON reports both the measured compile seconds and whether
+the cache was warm.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -19,17 +32,31 @@ import time
 import numpy as np
 
 N = 26
-REPEATS = 512          # Grover iterations timed (scanned body)
+GROVER_REPEATS = 512   # Grover iterations timed (scanned body)
+GENERAL_LAYERS = 4     # brickwork layers per scanned body
+GENERAL_REPEATS = 64
 BASELINE_GATES = 4     # numpy same-task gates to time for the ratio
 
 
-def tpu_gates_per_sec() -> tuple[float, dict]:
+def _timed(run, psi):
+    import jax.numpy as jnp
+
+    # fetch a scalar to force full completion: block_until_ready alone
+    # does not synchronise through the axon remote-execution tunnel
+    t0 = time.perf_counter()
+    out = run(psi)
+    _ = float(jnp.asarray(out[0, 0]))
+    return time.perf_counter() - t0, out
+
+
+def tpu_grover() -> tuple[float, dict]:
     import jax
     import jax.numpy as jnp
 
     from qbot_tpu.tpu.circuit import Circuit
     from qbot_tpu.tpu.compiler import compile_circuit
-    from qbot_tpu.tpu.planar import make_scanned_planar_runner, zero_state_planar
+    from qbot_tpu.tpu.planar import make_scanned_planar_runner, \
+        zero_state_planar
 
     n = N
     init = Circuit(n)
@@ -44,23 +71,13 @@ def tpu_gates_per_sec() -> tuple[float, dict]:
         body.h(q)
 
     body_plan = compile_circuit(body)
-    run = make_scanned_planar_runner(body_plan, REPEATS,
+    run = make_scanned_planar_runner(body_plan, GROVER_REPEATS,
                                      init_plan=compile_circuit(init))
     psi0 = zero_state_planar(n)
 
-    out = None
-
-    def timed_run():
-        # fetch a scalar to force full completion: block_until_ready alone
-        # does not synchronise through the axon remote-execution tunnel
-        nonlocal out
-        t0 = time.perf_counter()
-        out = run(psi0)
-        _ = float(jnp.asarray(out[0, 0]))
-        return time.perf_counter() - t0
-
-    compile_s = timed_run()                # compile + first run
-    elapsed = min(timed_run() for _ in range(2))
+    compile_s, out = _timed(run, psi0)     # compile + first run
+    elapsed = min(_timed(run, psi0)[0] for _ in range(2))
+    _, out = _timed(run, psi0)
 
     # numeric correctness on the real chip: Grover's marked-state
     # probability after R iterations is sin²((2R+1)·asin(2^{-n/2}))
@@ -68,12 +85,13 @@ def tpu_gates_per_sec() -> tuple[float, dict]:
     amp = jnp.asarray(out[:, 12345])
     p_marked = float(amp[0]) ** 2 + float(amp[1]) ** 2
     import math
-    p_expected = math.sin((2 * REPEATS + 1) * math.asin(2 ** (-n / 2))) ** 2
+    p_expected = math.sin((2 * GROVER_REPEATS + 1)
+                          * math.asin(2 ** (-n / 2))) ** 2
 
-    gates = body.gate_count * REPEATS + init.gate_count
+    gates = body.gate_count * GROVER_REPEATS + init.gate_count
     info = {
         "qubits": n,
-        "grover_iterations": REPEATS,
+        "grover_iterations": GROVER_REPEATS,
         "hbm_passes_per_iteration": body_plan.num_passes,
         "compile_seconds": round(compile_s, 2),
         "run_seconds": round(elapsed, 4),
@@ -82,6 +100,65 @@ def tpu_gates_per_sec() -> tuple[float, dict]:
         "device": str(jax.devices()[0]),
     }
     return gates / elapsed, info
+
+
+def _brickwork(n: int, layers: int, seed: int = 0):
+    from qbot_tpu.tpu.circuit import Circuit
+
+    rng = np.random.default_rng(seed)
+    c = Circuit(n)
+    X = np.array([[0, 1], [1, 0]], dtype=complex)
+    for layer in range(layers):
+        for q in range(n):
+            z = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+            qm, r = np.linalg.qr(z)
+            c.gate(qm * np.conj(r.diagonal() / np.abs(r.diagonal())), [q])
+        for q in range(layer % 2, n - 1, 2):
+            c.gate(X, [q + 1], controls=[q])
+    return c
+
+
+def tpu_general() -> dict:
+    import jax.numpy as jnp
+
+    from qbot_tpu.tpu import kernels
+    from qbot_tpu.tpu.compiler import compile_circuit
+    from qbot_tpu.tpu.planar import make_scanned_planar_runner, \
+        zero_state_planar
+
+    body = _brickwork(N, GENERAL_LAYERS)
+    plan = compile_circuit(body)
+    gates = body.gate_count * GENERAL_REPEATS
+    psi0 = zero_state_planar(N)
+
+    results = {}
+    outs = {}
+    for mode in ("on", "off"):
+        kernels.set_kernel_mode(mode)
+        run = make_scanned_planar_runner(plan, GENERAL_REPEATS)
+        compile_s, _ = _timed(run, psi0)
+        elapsed, out = min((_timed(run, psi0) for _ in range(2)),
+                           key=lambda t: t[0])
+        results[mode] = elapsed
+        outs[mode] = out
+        if mode == "on":
+            results["compile_on"] = compile_s
+    kernels.set_kernel_mode("auto")
+
+    # canaries: unitarity + Pallas/XLA agreement on the full final state
+    norm = float(jnp.sum(outs["on"] ** 2))
+    delta = float(jnp.max(jnp.abs(outs["on"] - outs["off"])))
+    return {
+        "general_gates_per_s": round(gates / results["on"], 1),
+        "general_layers": GENERAL_LAYERS,
+        "general_repeats": GENERAL_REPEATS,
+        "general_hbm_passes_per_body": plan.num_passes,
+        "general_compile_seconds": round(results["compile_on"], 2),
+        "general_run_seconds": round(results["on"], 4),
+        "general_pallas_vs_xla": round(results["off"] / results["on"], 3),
+        "general_norm": round(norm, 6),
+        "general_pallas_xla_max_delta": float(f"{delta:.2e}"),
+    }
 
 
 def numpy_baseline_gates_per_sec() -> float:
@@ -106,15 +183,24 @@ def numpy_baseline_gates_per_sec() -> float:
 
 
 def main():
-    value, info = tpu_gates_per_sec()
+    from qbot_tpu.utils.compile_cache import cache_is_warm, \
+        enable_compile_cache
+
+    warm = cache_is_warm()
+    enable_compile_cache()
+    value, info = tpu_grover()
+    general = tpu_general()
     baseline = numpy_baseline_gates_per_sec()
     out = {
-        "metric": f"gate-applications/s/chip @ {N} qubits (Grover, statevector)",
+        "metric": f"gate-applications/s/chip @ {N} qubits (Grover, "
+                  f"statevector)",
         "value": round(value, 1),
         "unit": "gates/s",
         "vs_baseline": round(value / baseline, 2),
         "baseline_cpu_numpy_gates_per_s": round(baseline, 2),
+        "compile_cache": "warm" if warm else "cold",
         **info,
+        **general,
     }
     print(json.dumps(out))
 

@@ -61,23 +61,27 @@ def measure(run, psi, label, gates, passes):
 
 
 if __name__ == "__main__":
+    import sys
+    W = int(sys.argv[1]) if len(sys.argv) > 1 else 7
+    MODES = sys.argv[2].split(",") if len(sys.argv) > 2 else ["on", "off"]
     body = brickwork_body(N, LAYERS)
-    plan = compile_circuit(body)
+    plan = compile_circuit(body, window=W)
     kinds = [type(s).__name__ for s in plan.steps]
     print(f"plan: {plan.num_passes} passes/body, steps: "
           f"{ {k: kinds.count(k) for k in set(kinds)} }", flush=True)
     gates = body.gate_count * REPEATS
     psi = zero_state_planar(N)
 
-    kernels.set_kernel_mode("on")
-    run_p = make_scanned_planar_runner(plan, REPEATS)
-    out_p = measure(run_p, psi, "pallas", gates, plan.num_passes)
-
-    kernels.set_kernel_mode("off")
-    run_x = make_scanned_planar_runner(plan, REPEATS)
-    out_x = measure(run_x, psi, "xla", gates, plan.num_passes)
-
-    err = float(jnp.max(jnp.abs(out_p - out_x)))
-    norm = float(jnp.sum(out_p**2))
-    print(f"pallas-vs-xla max|Δ|={err:.2e}  ‖ψ‖²={norm:.6f}", flush=True)
+    outs = {}
+    for mode in MODES:
+        kernels.set_kernel_mode("on" if mode == "on" else "off")
+        run = make_scanned_planar_runner(plan, REPEATS)
+        outs[mode] = measure(run, psi, f"w={W} {mode}", gates,
+                             plan.num_passes)
+    if len(outs) == 2:
+        a, b = outs.values()
+        err = float(jnp.max(jnp.abs(a - b)))
+        norm = float(jnp.sum(a**2))
+        print(f"pallas-vs-xla max|Δ|={err:.2e}  ‖ψ‖²={norm:.6f}",
+              flush=True)
     kernels.set_kernel_mode("auto")

@@ -77,6 +77,12 @@ def main(argv=None) -> int:
     set_backend(args.backend)
     set_dtype(args.dtype)
     set_runtime_config(EngineConfig.from_args(args))
+    if args.compile_mode or args.shard:
+        # device runs compile through the (slow, remote) axon service —
+        # the persistent cache turns repeat compiles into ~0.3 s loads
+        from qbot_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
 
     # some TPU plugins ignore the JAX_PLATFORMS env var; honour it through
     # jax.config before the backend initialises (relevant for --shard runs

@@ -155,3 +155,32 @@ class TestOrbaxCheckpoint:
         np.testing.assert_allclose(np.asarray(arrays["x"]), np.ones(2))
         if hasattr(mgr, "close"):
             mgr.close()
+
+
+class TestCompileCache:
+    def test_enable_and_warm_detection(self, tmp_path, monkeypatch):
+        import jax
+
+        from qbot_tpu.utils import compile_cache as cc
+
+        target = str(tmp_path / "cache")
+        monkeypatch.setattr(cc, "_enabled", False)
+        monkeypatch.setenv("QBOT_TPU_COMPILE_CACHE", target)
+        assert cc.cache_is_warm() is False
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            got = cc.enable_compile_cache()
+            assert got == target
+            assert jax.config.jax_compilation_cache_dir == target
+            # idempotent re-enable keeps the configured dir
+            assert cc.enable_compile_cache() == target
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)
+
+    def test_off_switch(self, monkeypatch):
+        from qbot_tpu.utils import compile_cache as cc
+
+        monkeypatch.setattr(cc, "_enabled", False)
+        monkeypatch.setenv("QBOT_TPU_COMPILE_CACHE", "off")
+        assert cc.enable_compile_cache() is None
+        assert cc.cache_is_warm() is False
