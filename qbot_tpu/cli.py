@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="complex precision (default: c128 numpy, c64 jax)")
     parser.add_argument("--seed", type=int, default=0,
                         help="PRNG seed for sampling layers (SMC/HMC)")
+    parser.add_argument("--precision", choices=["f32", "bf16_3x", "bf16"],
+                        default=None,
+                        help="device kernel matmul precision: f32 (6-pass "
+                             "bf16 decomposition, default), bf16_3x "
+                             "(~2x faster MXU, ~1e-5 per-gate error), "
+                             "bf16 (fastest, exploratory)")
     parser.add_argument("--profile", action="store_true",
                         help="print a per-line wall-time report after execution")
     parser.add_argument("--compile", dest="compile_mode", action="store_true",
@@ -83,6 +89,10 @@ def main(argv=None) -> int:
         from qbot_tpu.utils.compile_cache import enable_compile_cache
 
         enable_compile_cache()
+    if args.precision:
+        from qbot_tpu.tpu.kernels import set_dot_mode
+
+        set_dot_mode(args.precision)
 
     # some TPU plugins ignore the JAX_PLATFORMS env var; honour it through
     # jax.config before the backend initialises (relevant for --shard runs

@@ -125,3 +125,18 @@ class TestCli:
         cfg = EngineConfig.from_args(ns)
         assert cfg.mesh_shape == (2, 4)
         assert cfg.dtype == "c64" and cfg.seed == 3 and cfg.smc_particles == 16
+
+
+def test_precision_flag_sets_dot_mode(tmp_path):
+    from qbot_tpu.cli import main
+    from qbot_tpu.tpu.kernels import dot_mode
+
+    f = tmp_path / "p.qb"
+    f.write_text("qset tensorProd(comp[0], comp[0])\n"
+                 "gate hadamardGate ; 0\n")
+    try:
+        assert main([str(f), "--precision", "bf16_3x"]) == 0
+        assert dot_mode() == "bf16_3x"
+    finally:
+        from qbot_tpu.tpu.kernels import set_dot_mode
+        set_dot_mode("f32")
