@@ -44,9 +44,18 @@ def main():
 
     n = args.qubits
     circ = parameterized_layers(n, args.depth)
-    plan = compile_circuit(circ)
     counts = jnp.zeros(2**n).at[0].set(64.0).at[1].set(32.0)
-    log_prob = hmc.make_circuit_log_prob(plan, counts, dtype=jnp.complex64)
+    if args.platform == "cpu":
+        plan = compile_circuit(circ)
+        log_prob = hmc.make_circuit_log_prob(plan, counts,
+                                             dtype=jnp.complex64)
+    else:
+        # real TPUs expose no complex dtypes: the planar log-prob path,
+        # with gradients through the Pallas kernels' custom VJP
+        from qbot_tpu.utils.compile_cache import enable_compile_cache
+        enable_compile_cache()
+        plan = compile_circuit(circ, pair=False)
+        log_prob = hmc.make_circuit_log_prob_planar(plan, counts)
 
     results = []
     base_rate = None

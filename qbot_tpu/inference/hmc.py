@@ -20,8 +20,9 @@ import jax.numpy as jnp
 from qbot_tpu.tpu.compiler import Plan
 from qbot_tpu.tpu.simulator import apply_plan, computation_probs, zero_state
 
-__all__ = ["make_circuit_log_prob", "HMCState", "hmc_init", "hmc_step",
-           "run_hmc", "run_hmc_chains", "dual_averaging_warmup"]
+__all__ = ["make_circuit_log_prob", "make_circuit_log_prob_planar",
+           "HMCState", "hmc_init", "hmc_step", "run_hmc", "run_hmc_chains",
+           "dual_averaging_warmup"]
 
 
 def make_circuit_log_prob(plan: Plan, observed_counts, targets=None,
@@ -38,6 +39,36 @@ def make_circuit_log_prob(plan: Plan, observed_counts, targets=None,
     def log_prob(theta):
         psi = apply_plan(zero_state(plan.n, dtype), plan, theta)
         p = computation_probs(psi, targets=targets, n=plan.n)
+        p = jnp.clip(p, 1e-12, 1.0)
+        loglik = jnp.sum(counts * jnp.log(p))
+        logprior = -0.5 * jnp.sum((theta / prior_sigma) ** 2)
+        return loglik + logprior
+
+    return log_prob
+
+
+def make_circuit_log_prob_planar(plan: Plan, observed_counts, targets=None,
+                                 prior_sigma: float = 10.0) -> Callable:
+    """Planar-float32 twin of :func:`make_circuit_log_prob` for real TPUs.
+
+    The complex executor cannot run on TPU backends (no complex dtypes);
+    this builder evaluates the same posterior through the planar executor
+    — gradients flow through the Pallas window kernels via their custom
+    VJP (:mod:`qbot_tpu.tpu.kernels`).  Compile the plan with
+    ``compile_circuit(circ, pair=False)``: pair-fused steps carry no AD
+    rule (the single-window kernels do).
+    """
+    from qbot_tpu.tpu.planar import (
+        apply_plan_planar,
+        planar_probs,
+        zero_state_planar,
+    )
+
+    counts = jnp.asarray(observed_counts)
+
+    def log_prob(theta):
+        psi = apply_plan_planar(zero_state_planar(plan.n), plan, theta)
+        p = planar_probs(psi, targets=targets, n=plan.n)
         p = jnp.clip(p, 1e-12, 1.0)
         loglik = jnp.sum(counts * jnp.log(p))
         logprior = -0.5 * jnp.sum((theta / prior_sigma) ** 2)

@@ -686,10 +686,22 @@ def planar_window_apply(psi, n: int, start: int, width: int, Wr, Wi,
 
     ``pre_flips``: basis-state indices whose sign is flipped *before* the
     unitary (Grover-style oracles); ``pre_phases``: controlled-phase
-    factors (qubits, z).  Both fused into the Pallas kernel at zero extra
-    HBM cost.  Chooses the Pallas kernel when enabled and the geometry
-    allows; otherwise falls back to the XLA einsum formulation.
+    factors (qubits, z, pattern).  Both fused into the Pallas kernel at
+    zero extra HBM cost.  Chooses the Pallas kernel when enabled and the
+    geometry allows; otherwise falls back to the XLA einsum formulation.
+
+    Differentiable wrt (psi, Wr, Wi) — Pallas kernels carry no AD rules,
+    so a custom VJP supplies the adjoint: W†-apply for the state
+    cotangent (one more window pass) and two window-sized einsums for the
+    matrix cotangents.  This is what lets HMC/NUTS gradients flow through
+    the real-TPU planar path.
     """
+    return _window_apply_ad(n, start, width, tuple(pre_flips),
+                            tuple(pre_phases), psi, Wr, Wi)
+
+
+def _window_apply_impl(n: int, start: int, width: int, pre_flips,
+                       pre_phases, psi, Wr, Wi):
     D = 2**width
     a = 2**start
     B = (2**n) // (a * D)
@@ -747,3 +759,63 @@ def planar_window_apply(psi, n: int, start: int, width: int, Wr, Wi,
     out_r = mm(Wr, pr) - mm(Wi, pi)
     out_i = mm(Wr, pi) + mm(Wi, pr)
     return jnp.stack([out_r, out_i]).reshape(psi.shape)
+
+
+def _apply_diagonals_xla(psi, n: int, pre_flips, pre_phases, conj=False):
+    """Apply the fused diagonal prefix (signs + phases) as XLA ops.
+
+    ``conj=True`` applies the adjoint (sign flips are real; phases
+    conjugate) — used by the VJP.
+    """
+    if pre_phases:
+        factors = (tuple((q, np.conj(z), pat) for q, z, pat in pre_phases)
+                   if conj else pre_phases)
+        psi = _apply_phases_xla(psi, n, factors)
+    for m in pre_flips:
+        psi = psi.at[:, m].multiply(-1)
+    return psi
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _window_apply_ad(n, start, width, pre_flips, pre_phases, psi, Wr, Wi):
+    return _window_apply_impl(n, start, width, pre_flips, pre_phases,
+                              psi, Wr, Wi)
+
+
+def _window_apply_fwd(n, start, width, pre_flips, pre_phases, psi, Wr, Wi):
+    out = _window_apply_impl(n, start, width, pre_flips, pre_phases,
+                             psi, Wr, Wi)
+    return out, (psi, Wr, Wi)
+
+
+def _window_apply_bwd(n, start, width, pre_flips, pre_phases, res, g):
+    """Adjoint of out = W · Φ · F · ψ (Φ = fused phases, F = sign flips).
+
+    ψ̄ = F† Φ† W† ḡ — one more window pass (the same kernel with the
+    conjugate-transposed matrix) plus a cheap diagonal; W̄ comes from two
+    (D, D)-sized einsums against y = Φ F ψ.
+    """
+    psi, Wr, Wi = res
+    # W† ḡ through the same kernel dispatch (no fused diagonals)
+    gW = _window_apply_impl(n, start, width, (), (), g, Wr.T, -Wi.T)
+    d_psi = _apply_diagonals_xla(gW, n, pre_flips, pre_phases, conj=True)
+
+    # y = Φ F ψ (recomputed; elementwise) for the matrix cotangents
+    y = _apply_diagonals_xla(psi, n, pre_flips, pre_phases)
+    D = 2**width
+    a = 2**start
+    g4 = g.reshape(2, a, D, -1)
+    y4 = y.reshape(2, a, D, -1)
+    gr, gi = g4[0], g4[1]
+    yr, yi = y4[0], y4[1]
+
+    def mm(x, z):
+        return jnp.einsum("aib,ajb->ij", x, z,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    d_Wr = mm(gr, yr) + mm(gi, yi)
+    d_Wi = mm(gi, yr) - mm(gr, yi)
+    return d_psi, d_Wr, d_Wi
+
+
+_window_apply_ad.defvjp(_window_apply_fwd, _window_apply_bwd)

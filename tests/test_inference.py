@@ -120,3 +120,66 @@ class TestHMC:
         )(jax.random.PRNGKey(4), jnp.array([1.0]))
         assert 1e-4 < float(eps) < 10.0
         assert np.isfinite(float(state.log_prob))
+
+
+class TestPlanarLogProb:
+    """Real-TPU HMC path: planar log-prob + gradients through the
+    Pallas window kernels' custom VJP vs the complex oracle."""
+
+    def _setup(self):
+        import jax.numpy as jnp
+
+        from qbot_tpu.inference.hmc import (
+            make_circuit_log_prob,
+            make_circuit_log_prob_planar,
+        )
+        from qbot_tpu.tpu.circuit import parameterized_layers
+        from qbot_tpu.tpu.compiler import compile_circuit
+
+        circ = parameterized_layers(5, 2)
+        plan = compile_circuit(circ, window=3, pair=False)
+        counts = jnp.zeros(2**5).at[0].set(40.0).at[3].set(24.0)
+        lp_c = make_circuit_log_prob(plan, counts)
+        lp_p = make_circuit_log_prob_planar(plan, counts)
+        theta = jnp.linspace(0.2, 1.4, circ.num_params)
+        return lp_c, lp_p, theta
+
+    def test_value_matches_complex(self):
+        lp_c, lp_p, theta = self._setup()
+        np.testing.assert_allclose(float(lp_p(theta)), float(lp_c(theta)),
+                                   rtol=1e-4)
+
+    def test_grad_matches_complex(self):
+        import jax
+
+        lp_c, lp_p, theta = self._setup()
+        gc = np.asarray(jax.grad(lp_c)(theta))
+        gp = np.asarray(jax.grad(lp_p)(theta))
+        np.testing.assert_allclose(gp, gc, rtol=2e-3, atol=1e-3)
+
+    def test_grad_through_pallas_kernels(self):
+        import jax
+
+        from qbot_tpu.tpu import kernels
+
+        lp_c, lp_p, theta = self._setup()
+        kernels.set_kernel_mode("interpret")
+        try:
+            gp = np.asarray(jax.grad(lp_p)(theta))
+        finally:
+            kernels.set_kernel_mode("auto")
+        gc = np.asarray(jax.grad(lp_c)(theta))
+        np.testing.assert_allclose(gp, gc, rtol=2e-3, atol=1e-3)
+
+    def test_hmc_chain_runs_planar(self):
+        import jax
+        import jax.numpy as jnp
+
+        from qbot_tpu.inference.hmc import run_hmc_chains
+
+        _, lp_p, theta = self._setup()
+        theta0 = jnp.stack([theta, theta + 0.1])
+        qs, lps = run_hmc_chains(jax.random.PRNGKey(0), lp_p, theta0, 4,
+                                 step_size=0.05, num_leapfrog=3)
+        assert qs.shape == (2, 4, theta.shape[0])
+        assert np.isfinite(np.asarray(lps)).all()
