@@ -17,6 +17,8 @@ def _file_path(path: str) -> str:
     return os.path.join(os.getcwd(), path.lstrip("/"))
 
 
+
+
 def build_parser() -> argparse.ArgumentParser:
     from qbot_tpu import __version__
 
@@ -82,7 +84,11 @@ def main(argv=None) -> int:
 
     set_backend(args.backend)
     set_dtype(args.dtype)
-    set_runtime_config(EngineConfig.from_args(args))
+    try:
+        set_runtime_config(EngineConfig.from_args(args))
+    except ValueError as e:
+        print(f"mesh error: {e}", file=sys.stderr)
+        return 1
     if args.compile_mode or args.shard:
         # device runs compile through the (slow, remote) axon service —
         # the persistent cache turns repeat compiles into ~0.3 s loads
@@ -126,8 +132,10 @@ def main(argv=None) -> int:
                 lines, sample=args.smc, seed=args.seed)
             n_dev = sum(p.qreg.num_particles for p in particles
                         if p.qreg is not None)
+            extra = (f", pruned mass <= {res.lost_mass:.3e}"
+                     if res.lost_mass > 0 else "")
             print(f"device ensemble: {len(particles)} branches, "
-                  f"{n_dev} device particles", file=sys.stderr)
+                  f"{n_dev} device particles{extra}", file=sys.stderr)
             # programs that print their own output did so during execution;
             # otherwise show every bound measurement result
             if not any(peek_opcode(l) == "cout" for l in lines):
@@ -151,9 +159,18 @@ def main(argv=None) -> int:
                 if args.mesh:
                     import jax
                     from qbot_tpu.tpu.sharding import make_mesh
-                    shape = tuple(int(x) for x in args.mesh.lower().split("x"))
-                    mesh = make_mesh(shape,
-                                     devices=jax.devices()[:shape[0] * shape[1]])
+                    from qbot_tpu.utils.config import parse_mesh_shape
+                    try:
+                        shape = parse_mesh_shape(args.mesh)
+                        ndev = shape[0] * shape[1]
+                        if ndev > len(jax.devices()):
+                            raise ValueError(
+                                f"--mesh {args.mesh} needs {ndev} devices, "
+                                f"only {len(jax.devices())} available")
+                        mesh = make_mesh(shape, devices=jax.devices()[:ndev])
+                    except ValueError as e:
+                        print(f"mesh error: {e}", file=sys.stderr)
+                        return 1
                 try:
                     probs, _, splan = run_lowered_sharded(lp, k=args.shard,
                                                           mesh=mesh)

@@ -93,24 +93,28 @@ class _Engine:
         return self.apply_circuit(qreg, circ)
 
     def concat(self, weighted):
-        """Weight-concatenate [(p, QuantumEnsemble)] into one ensemble."""
+        """Weight-concatenate [(p, QuantumEnsemble)] into one ensemble.
+
+        ``lost_mass`` is threaded through: a p-weighted mixture of
+        ensembles with TV error bounds ε_i carries bound Σ p_i ε_i / Σ p_i,
+        and any subsequent prune accumulates on top of that.
+        """
         import jax.numpy as jnp
 
         log_w = jnp.concatenate(
             [q.log_w + float(np.log(p)) for p, q in weighted])
         psi = jnp.concatenate([q.psi for _, q in weighted])
-        return self.prune(self.ee.QuantumEnsemble(log_w, psi))
+        total = sum(p for p, _ in weighted)
+        lost = sum(p * q.lost_mass for p, q in weighted) / total
+        return self.prune(self.ee.QuantumEnsemble(log_w, psi, lost))
 
     def prune(self, qreg):
-        import jax.numpy as jnp
-
-        from qbot_tpu.inference.ensemble_exec import QuantumEnsemble
-        total = qreg.num_particles
-        if total <= self.max_particles:
+        from qbot_tpu.inference.ensemble_exec import QuantumEnsemble, _prune
+        if qreg.num_particles <= self.max_particles:
             return qreg
-        top_w, idx = self.jax.lax.top_k(qreg.log_w, self.max_particles)
-        log_w = top_w - self.jax.scipy.special.logsumexp(top_w)
-        return QuantumEnsemble(log_w, qreg.psi[idx])
+        log_w, psi, lost = _prune(qreg.log_w, qreg.psi, self.max_particles,
+                                  qreg.lost_mass)
+        return QuantumEnsemble(log_w, psi, lost)
 
 
 def _to_density_host(lines, line_num, val):
@@ -176,7 +180,7 @@ def _exec_quantum(engine: _Engine, particle: _DeviceParticle, lines,
             reps = max(1, engine.sample // q.num_particles)
             particle.qreg = ee.QuantumEnsemble(
                 jnp.repeat(q.log_w, reps) - float(np.log(reps)),
-                jnp.repeat(q.psi, reps, axis=0))
+                jnp.repeat(q.psi, reps, axis=0), q.lost_mass)
         ns["__is_q_state"] = True
         ns["__updated_state"] = True
         return
@@ -406,7 +410,8 @@ def execute_lines_device_ensemble(lines: list[str],
                                   window: int = 7,
                                   collapse_mode: str = "reference",
                                   sample: int = 0,
-                                  seed: int = 0):
+                                  seed: int = 0,
+                                  prune_tol: float = 1e-6):
     """Run a program with probabilistic control flow on the device engine.
 
     Returns (EnsembleResult, finished _DeviceParticles).  The merged
@@ -437,8 +442,23 @@ def execute_lines_device_ensemble(lines: list[str],
         p.ns["state"] = (ensemble_mixture(p.qreg)
                          if p.qreg is not None else empty_state())
     merged = _merge_particles(finished)
+    # cumulative pruned-mass bound across branches: a prob-weighted mixture
+    # of ensembles with TV bounds ε_i carries bound Σ prob_i·ε_i — surfaced
+    # exactly like run_lowered_ensemble (lowering.py) so --compile
+    # --ensemble never drops mass silently
+    total_p = sum(p.prob for p in finished) or 1.0
+    lost = sum(p.prob * float(p.qreg.lost_mass)
+               for p in finished if p.qreg is not None) / total_p
+    if lost > prune_tol:
+        import warnings
+        warnings.warn(
+            f"ensemble pruning dropped {lost:.3e} probability mass "
+            f"(> prune_tol={prune_tol:g}); reported outcome probabilities "
+            f"carry up to that much total-variation error — raise "
+            f"max_particles or switch to sampling mode (sample > 0)",
+            RuntimeWarning, stacklevel=2)
     return EnsembleResult(merged, [p.prob for p in finished],
-                          [p.ns for p in finished]), finished
+                          [p.ns for p in finished], lost), finished
 
 
 def executeTxtDeviceEnsemble(text: str,

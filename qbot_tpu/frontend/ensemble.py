@@ -52,10 +52,16 @@ class _Particle:
 
 @dataclass
 class EnsembleResult:
-    """Merged namespace plus the raw branch particles."""
+    """Merged namespace plus the raw branch particles.
+
+    ``lost_mass`` is the cumulative probability mass dropped by branch
+    pruning (device ensemble runner) — an exact total-variation error bound
+    on reported distributions.  The host runner is exact, so it stays 0.0.
+    """
     namespace: dict
     branch_probs: list[float] = field(default_factory=list)
     branch_namespaces: list[dict] = field(default_factory=list)
+    lost_mass: float = 0.0
 
 
 def _truth_probability(pv: ProbVal, lines, line_num):

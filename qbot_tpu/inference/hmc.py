@@ -53,10 +53,11 @@ def make_circuit_log_prob_planar(plan: Plan, observed_counts, targets=None,
 
     The complex executor cannot run on TPU backends (no complex dtypes);
     this builder evaluates the same posterior through the planar executor
-    — gradients flow through the Pallas window kernels via their custom
-    VJP (:mod:`qbot_tpu.tpu.kernels`).  Compile the plan with
-    ``compile_circuit(circ, pair=False)``: pair-fused steps carry no AD
-    rule (the single-window kernels do).
+    — gradients flow through the Pallas window, pair, and reflect kernels
+    via their custom VJPs (:mod:`qbot_tpu.tpu.kernels`,
+    :func:`qbot_tpu.tpu.planar._apply_reflect_planar`), so the default
+    pair-fused ``compile_circuit`` plan works directly: HMC/NUTS pays the
+    same HBM passes as the tuned forward path.
     """
     from qbot_tpu.tpu.planar import (
         apply_plan_planar,

@@ -201,7 +201,8 @@ def gate_as_diag(op: CircuitOp) -> Optional[CircuitOp]:
     if op.kind != "gate" or op.matrix is None:
         return None
     m = np.asarray(op.matrix)
-    if m.ndim != 2 or not np.allclose(m, np.diag(np.diag(m))):
+    if m.ndim != 2 or not np.allclose(m, np.diag(np.diag(m)),
+                                      rtol=0.0, atol=1e-12):
         return None
     d = np.diag(m).astype(np.complex128)
     if op.controls:
@@ -353,7 +354,11 @@ def compile_circuit(circ: Circuit, window: int = 7,
             else:
                 d = np.asarray(op.matrix, np.complex128)
                 flush_overlapping(targets)
-                nontriv = np.flatnonzero(~np.isclose(d, 1.0, atol=1e-12))
+                # rtol must be 0: the default 1e-5 would snap entries
+                # within 1e-5 of 1 to identity, silently dropping small
+                # phases even on the exact c128 oracle path
+                nontriv = np.flatnonzero(
+                    ~np.isclose(d, 1.0, rtol=0.0, atol=1e-12))
                 if (nontriv.shape[0] == 1
                         and abs(abs(d[nontriv[0]]) - 1.0) < 1e-12):
                     # controlled-phase normal form (one unimodular entry

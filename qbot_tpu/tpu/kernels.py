@@ -622,9 +622,21 @@ def planar_pair_window_apply(psi, n: int, s1: int, w1: int, s2: int, w2: int,
     BOTH unitaries (they were fused onto the first window).  Falls back
     to two sequential window applications when Pallas is off or the
     geometry is unsupported.
+
+    Differentiable wrt (psi, W1r, W1i, W2r, W2i) via a custom VJP (the
+    Pallas pair kernels carry no AD rules): the state cotangent is one
+    more pair pass with W1†, W2†, and the four matrix cotangents are
+    window-sized einsums — so HMC/NUTS gradients flow through pair-fused
+    plans at the tuned forward path's HBM cost.
     """
     if s1 + w1 != s2:
         raise ValueError("pair windows must be qubit-contiguous")
+    return _pair_apply_ad(n, s1, w1, s2, w2, tuple(pre_flips),
+                          tuple(pre_phases), psi, W1r, W1i, W2r, W2i)
+
+
+def _pair_apply_impl(psi, n: int, s1: int, w1: int, s2: int, w2: int,
+                     W1r, W1i, W2r, W2i, pre_flips=(), pre_phases=()):
     D1, D2 = 2**w1, 2**w2
     A = 2**s1
     B = (2**n) // (A * D1 * D2)
@@ -819,3 +831,70 @@ def _window_apply_bwd(n, start, width, pre_flips, pre_phases, res, g):
 
 
 _window_apply_ad.defvjp(_window_apply_fwd, _window_apply_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _pair_apply_ad(n, s1, w1, s2, w2, pre_flips, pre_phases,
+                   psi, W1r, W1i, W2r, W2i):
+    return _pair_apply_impl(psi, n, s1, w1, s2, w2, W1r, W1i, W2r, W2i,
+                            pre_flips, pre_phases)
+
+
+def _pair_apply_fwd(n, s1, w1, s2, w2, pre_flips, pre_phases,
+                    psi, W1r, W1i, W2r, W2i):
+    out = _pair_apply_impl(psi, n, s1, w1, s2, w2, W1r, W1i, W2r, W2i,
+                           pre_flips, pre_phases)
+    return out, (psi, W1r, W1i, W2r, W2i)
+
+
+def _pair_apply_bwd(n, s1, w1, s2, w2, pre_flips, pre_phases, res, g):
+    """Adjoint of out = (W1 ⊗ W2) · Φ · F · ψ.
+
+    ψ̄ = F† Φ† (W1† ⊗ W2†) ḡ — one more pair pass (the same kernel with
+    the conjugate-transposed matrices) plus a cheap diagonal.  Matrix
+    cotangents: with y = Φ F ψ viewed as (2, A, D1, D2, B),
+    out = Σ_{j,m} W1[i,j]·W2[l,m]·y[a,j,m,b], so W̄1 contracts ḡ against
+    Z = y·W2 (over D2) and W̄2 against V = W1·y (over D1) — four
+    full-state einsums, same order as the forward pass.
+    """
+    psi, W1r, W1i, W2r, W2i = res
+    gW = _pair_apply_impl(g, n, s1, w1, s2, w2,
+                          W1r.T, -W1i.T, W2r.T, -W2i.T)
+    d_psi = _apply_diagonals_xla(gW, n, pre_flips, pre_phases, conj=True)
+
+    y = _apply_diagonals_xla(psi, n, pre_flips, pre_phases)
+    D1, D2 = 2**w1, 2**w2
+    A = 2**s1
+    g5 = g.reshape(2, A, D1, D2, -1)
+    y5 = y.reshape(2, A, D1, D2, -1)
+    gr, gi = g5[0], g5[1]
+    yr, yi = y5[0], y5[1]
+    prec = jax.lax.Precision.HIGHEST
+
+    def c2(W, x):                        # Z[a,j,l,b] = Σ_m W[l,m]·x[a,j,m,b]
+        return jnp.einsum("lm,ajmb->ajlb", W, x, precision=prec)
+
+    Zr = c2(W2r, yr) - c2(W2i, yi)
+    Zi = c2(W2r, yi) + c2(W2i, yr)
+
+    def m1(x, z):                        # W̄1[i,j] from (a,i,l,b)·(a,j,l,b)
+        return jnp.einsum("ailb,ajlb->ij", x, z, precision=prec)
+
+    d_W1r = m1(gr, Zr) + m1(gi, Zi)
+    d_W1i = m1(gi, Zr) - m1(gr, Zi)
+
+    def c1(W, x):                        # V[a,i,m,b] = Σ_j W[i,j]·x[a,j,m,b]
+        return jnp.einsum("ij,ajmb->aimb", W, x, precision=prec)
+
+    Vr = c1(W1r, yr) - c1(W1i, yi)
+    Vi = c1(W1r, yi) + c1(W1i, yr)
+
+    def m2(x, v):                        # W̄2[l,m] from (a,i,l,b)·(a,i,m,b)
+        return jnp.einsum("ailb,aimb->lm", x, v, precision=prec)
+
+    d_W2r = m2(gr, Vr) + m2(gi, Vi)
+    d_W2i = m2(gi, Vr) - m2(gr, Vi)
+    return d_psi, d_W1r, d_W1i, d_W2r, d_W2i
+
+
+_pair_apply_ad.defvjp(_pair_apply_fwd, _pair_apply_bwd)

@@ -272,6 +272,47 @@ def _apply_reflect_planar_pallas(psi, n: int, step: ReflectStep):
 def _apply_reflect_planar(psi, n: int, step: ReflectStep):
     """ψ → Fψ − 2⟨v|Fψ⟩v for product |v⟩ = ⊗ factors, F = fused sign flips.
 
+    Differentiable: R = (I − 2vv†)F is complex-linear, so the custom VJP
+    applies the adjoint R† = F(I − 2vv†) to the cotangent through the XLA
+    formulation (the Pallas reflect kernels carry no AD rules) — this is
+    what lets gradients flow through reflection-carrying plans (Grover-in-
+    the-loss) on the planar path.
+    """
+
+    @jax.custom_vjp
+    def apply(p):
+        return _reflect_impl(p, n, step)
+
+    def fwd(p):
+        return _reflect_impl(p, n, step), None
+
+    def bwd(_, g):
+        return (_reflect_adjoint_xla(g, step),)
+
+    apply.defvjp(fwd, bwd)
+    return apply(psi)
+
+
+def _reflect_adjoint_xla(g, step: ReflectStep):
+    """R†ḡ = F(ḡ − 2⟨v|ḡ⟩v): rank-1 update, then flip signs at indices."""
+    dims = tuple(f.shape[0] for f in step.factors)
+    gr = g[0].reshape(dims)
+    gi = g[1].reshape(dims)
+    vr, vi = _broadcast_product(step.factors, dims, g.dtype)
+    cr = jnp.sum(vr * gr + vi * gi)
+    ci = jnp.sum(vr * gi - vi * gr)
+    sr = 2.0 * (cr * vr - ci * vi)
+    si = 2.0 * (cr * vi + ci * vr)
+    out = jnp.stack([(gr - sr).reshape(-1), (gi - si).reshape(-1)])
+    for m in step.pre_flips:
+        out = out.at[:, m].multiply(-1)
+    return out
+
+
+def _reflect_impl(psi, n: int, step: ReflectStep):
+    """Forward reflection: Pallas two-pass kernels when the geometry and
+    backend allow, otherwise the fused-elementwise XLA formulation.
+
     Two HBM passes: the ⟨v|ψ⟩ contraction as ONE fused elementwise
     multiply-reduce over the flat state (a matmul formulation here makes
     XLA materialise a transposed-layout copy of the whole state — measured

@@ -9,6 +9,32 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 
+def parse_mesh_shape(spec: str) -> tuple[int, int]:
+    """Parse and validate a ``--mesh PxQ`` value (particles x qubit-shards).
+
+    Raises ValueError with a rendered message on any malformed value —
+    wrong factor count, non-integers, non-positive sizes, or a qubit axis
+    that is not a power of two (shard counts are always 2^k).
+    """
+    parts = spec.lower().split("x")
+    if len(parts) != 2:
+        raise ValueError(
+            f"--mesh expects exactly two factors PxQ (particles x "
+            f"qubit-shards), got {spec!r} with {len(parts)} factor(s)")
+    try:
+        shape = tuple(int(x) for x in parts)
+    except ValueError:
+        raise ValueError(
+            f"--mesh factors must be integers, got {spec!r}") from None
+    if any(s < 1 for s in shape):
+        raise ValueError(f"--mesh factors must be >= 1, got {spec!r}")
+    if shape[1] & (shape[1] - 1):
+        raise ValueError(
+            f"--mesh qubit-shard axis must be a power of two, got "
+            f"{shape[1]} (from {spec!r})")
+    return shape
+
+
 @dataclass
 class EngineConfig:
     backend: str = "numpy"          # numpy | jax
@@ -25,10 +51,7 @@ class EngineConfig:
         mesh = None
         mesh_str = getattr(args, "mesh", None)
         if mesh_str:
-            parts = [int(x) for x in mesh_str.lower().split("x")]
-            if len(parts) != 2:
-                raise ValueError(f"--mesh expects PxQ, got {mesh_str!r}")
-            mesh = (parts[0], parts[1])
+            mesh = parse_mesh_shape(mesh_str)
         return EngineConfig(
             backend=getattr(args, "backend", "numpy"),
             dtype=getattr(args, "dtype", None),

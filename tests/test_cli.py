@@ -116,6 +116,30 @@ class TestCli:
         assert "|0〉|0〉- 0.49" in out and "|1〉|1〉- 0.49" in out
         assert "|0〉|1〉- 0.0" in out and "|1〉|0〉- 0.0" in out
 
+    def test_mesh_flag_rejects_three_factors(self, qb_file, capsys):
+        rc = main([qb_file("qset tensorExp(comp[0], 6)\nmeas out ; comp"),
+                   "--compile", "--shard", "2", "--mesh", "2x2x2"])
+        assert rc == 1
+        assert "mesh error" in capsys.readouterr().err
+
+    def test_mesh_flag_rejects_garbage(self, qb_file, capsys):
+        rc = main([qb_file("qset tensorExp(comp[0], 6)\nmeas out ; comp"),
+                   "--compile", "--shard", "2", "--mesh", "garbage"])
+        assert rc == 1
+        assert "mesh error" in capsys.readouterr().err
+
+    def test_mesh_flag_rejects_non_pow2_qubit_axis(self, qb_file, capsys):
+        rc = main([qb_file("qset tensorExp(comp[0], 6)\nmeas out ; comp"),
+                   "--compile", "--shard", "2", "--mesh", "1x3"])
+        assert rc == 1
+        assert "power of two" in capsys.readouterr().err
+
+    def test_mesh_flag_rejects_too_many_devices(self, qb_file, capsys):
+        rc = main([qb_file("qset tensorExp(comp[0], 6)\nmeas out ; comp"),
+                   "--compile", "--shard", "2", "--mesh", "64x64"])
+        assert rc == 1
+        assert "devices" in capsys.readouterr().err
+
     def test_engine_config_from_args(self):
         import argparse
 

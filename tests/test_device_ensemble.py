@@ -143,3 +143,46 @@ class TestDeviceBranching:
         _, finished = execute_lines_device_ensemble(src.splitlines())
         assert len(finished) == 2
         assert finished[0].qreg.psi is finished[1].qreg.psi
+
+
+class TestLostMassTracking:
+    """The device-ensemble runner must report the SAME cumulative
+    pruned-mass bound as the lowered-ensemble runner — mass is never
+    dropped silently on the --compile --ensemble path (round-2 defect:
+    _Engine.concat/prune reset lost_mass to 0)."""
+
+    SRC = ("qset tensorExp(comp[0], 3)\n"
+           "gate hadamardGate ; 0\n"
+           "gate hadamardGate ; 1\n"
+           "gate hadamardGate ; 2\n"
+           "meas a ; computation ; [0]\n"
+           "meas b ; computation ; [1]\n"
+           "meas c ; computation ; [2]")
+
+    def test_bound_matches_lowered_runner(self):
+        import warnings
+
+        from qbot_tpu.frontend.lowering import (
+            lower_program,
+            run_lowered_ensemble,
+        )
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            res, finished = execute_lines_device_ensemble(
+                self.SRC.splitlines(), max_particles=3)
+            lp = lower_program(self.SRC, mid_measure=True)
+            _, ens = run_lowered_ensemble(lp, max_particles=3)
+        assert res.lost_mass > 0.0
+        np.testing.assert_allclose(res.lost_mass, float(ens.lost_mass),
+                                   rtol=1e-6)
+
+    def test_prune_warning_emitted(self):
+        with pytest.warns(RuntimeWarning, match="pruning dropped"):
+            execute_lines_device_ensemble(self.SRC.splitlines(),
+                                          max_particles=3)
+
+    def test_exact_run_reports_zero(self):
+        res, _ = execute_lines_device_ensemble(self.SRC.splitlines(),
+                                               max_particles=4096)
+        assert res.lost_mass == 0.0

@@ -136,9 +136,15 @@ class TestPlanarLogProb:
         from qbot_tpu.tpu.circuit import parameterized_layers
         from qbot_tpu.tpu.compiler import compile_circuit
 
-        circ = parameterized_layers(5, 2)
-        plan = compile_circuit(circ, window=3, pair=False)
-        counts = jnp.zeros(2**5).at[0].set(40.0).at[3].set(24.0)
+        from qbot_tpu.tpu.compiler import PairStep
+
+        # default pair-fused plan: the pair kernels' custom VJP must carry
+        # the gradient (round-3 criterion: HMC runs on the tuned forward
+        # path, no pair=False detour)
+        circ = parameterized_layers(8, 2)
+        plan = compile_circuit(circ, window=4)
+        assert any(isinstance(s, PairStep) for s in plan.steps)
+        counts = jnp.zeros(2**8).at[0].set(40.0).at[3].set(24.0)
         lp_c = make_circuit_log_prob(plan, counts)
         lp_p = make_circuit_log_prob_planar(plan, counts)
         theta = jnp.linspace(0.2, 1.4, circ.num_params)
@@ -169,6 +175,41 @@ class TestPlanarLogProb:
         finally:
             kernels.set_kernel_mode("auto")
         gc = np.asarray(jax.grad(lp_c)(theta))
+        np.testing.assert_allclose(gp, gc, rtol=2e-3, atol=1e-3)
+
+    def test_grad_through_reflect_step(self):
+        """Gradients flow through a ReflectStep (Grover-in-the-loss): the
+        reflect custom VJP applies R† = F(I − 2vv†) to the cotangent."""
+        import jax
+        import jax.numpy as jnp
+
+        from qbot_tpu.inference.hmc import (
+            make_circuit_log_prob,
+            make_circuit_log_prob_planar,
+        )
+        from qbot_tpu.tpu.circuit import Circuit
+        from qbot_tpu.tpu.compiler import ReflectStep, compile_circuit
+
+        H = np.array([[1, 1], [1, -1]], dtype=complex) / np.sqrt(2)
+        n = 6
+        c = Circuit(n)
+        for q in range(n):
+            c.pry(q, q)
+        for q in range(n):          # prep layer (fuses with the rotations)
+            c.gate(H, [q])
+        c.phase_flip(3)              # oracle
+        for q in range(n):          # diffusion: H^n · flip(0) · H^n
+            c.gate(H, [q])
+        c.phase_flip(0)
+        for q in range(n):
+            c.gate(H, [q])
+        plan = compile_circuit(c, window=3)
+        assert any(isinstance(s, ReflectStep) for s in plan.steps)
+        counts = jnp.zeros(2**n).at[0].set(10.0).at[5].set(6.0)
+        theta = jnp.linspace(0.3, 1.1, n)
+        gc = np.asarray(jax.grad(make_circuit_log_prob(plan, counts))(theta))
+        gp = np.asarray(
+            jax.grad(make_circuit_log_prob_planar(plan, counts))(theta))
         np.testing.assert_allclose(gp, gc, rtol=2e-3, atol=1e-3)
 
     def test_hmc_chain_runs_planar(self):
