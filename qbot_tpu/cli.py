@@ -104,13 +104,13 @@ def main(argv=None) -> int:
     # jax.config before the backend initialises (relevant for --shard runs
     # on emulated CPU meshes)
     plat = os.environ.get("JAX_PLATFORMS")
-    if plat and (args.shard or args.compile_mode):
+    if plat and (args.shard or args.mesh or args.compile_mode):
         try:
             import jax
-            # never override an explicit earlier jax.config choice (e.g. a
-            # test harness that pinned the emulated CPU mesh)
-            if not getattr(jax.config, "jax_platforms", None):
-                jax.config.update("jax_platforms", plat)
+            # re-assert through jax.config even when the env var already
+            # seeded it: the axon TPU plugin ignores the env var, and an
+            # explicit config update is what actually pins the platform
+            jax.config.update("jax_platforms", plat)
         except Exception:
             pass
 
@@ -126,10 +126,27 @@ def main(argv=None) -> int:
             from qbot_tpu.frontend.interpreter import peek_opcode
             from qbot_tpu.ops.measurement import MeasurementResult
 
+            mesh = None
+            if args.shard or args.mesh:
+                import jax
+                from qbot_tpu.tpu.sharding import make_mesh
+                from qbot_tpu.utils.config import parse_mesh_shape
+                try:
+                    shape = (parse_mesh_shape(args.mesh) if args.mesh
+                             else (1, 2**args.shard))
+                    ndev = shape[0] * shape[1]
+                    if ndev > len(jax.devices()):
+                        raise ValueError(
+                            f"mesh {shape[0]}x{shape[1]} needs {ndev} "
+                            f"devices, only {len(jax.devices())} available")
+                    mesh = make_mesh(shape, devices=jax.devices()[:ndev])
+                except ValueError as e:
+                    print(f"mesh error: {e}", file=sys.stderr)
+                    return 1
             with open(path, "r") as f:
                 lines = f.read().splitlines()
             res, particles = execute_lines_device_ensemble(
-                lines, sample=args.smc, seed=args.seed)
+                lines, sample=args.smc, seed=args.seed, mesh=mesh)
             n_dev = sum(p.qreg.num_particles for p in particles
                         if p.qreg is not None)
             extra = (f", pruned mass <= {res.lost_mass:.3e}"

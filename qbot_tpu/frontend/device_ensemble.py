@@ -58,7 +58,13 @@ class _DeviceParticle:
 
 
 class _Engine:
-    """Per-run device engine state (lazy imports, PRNG key, knobs)."""
+    """Per-run device engine state (lazy imports, PRNG key, knobs).
+
+    The quantum-op executor :func:`_exec_quantum` talks to the engine only
+    through this method surface, so the sharded engine
+    (:class:`_ShardedEngine`) swaps in mesh-collective twins of every
+    operation while the ProbVal control-flow machinery stays untouched.
+    """
 
     def __init__(self, max_particles: int, window: int, collapse_mode: str,
                  sample: int, seed: int):
@@ -81,6 +87,29 @@ class _Engine:
         self.key, sub = self.jax.random.split(self.key)
         return sub
 
+    # -- state construction -------------------------------------------------
+    def init_pure(self, vec: np.ndarray):
+        import jax.numpy as jnp
+
+        from qbot_tpu.tpu.planar import to_planar
+        return self.ee.init_ensemble(jnp.asarray(to_planar(vec)))
+
+    def init_mixed(self, rho: np.ndarray):
+        return self.ee.init_mixed_ensemble(rho)
+
+    def replicate(self, qreg):
+        """SMC regime: replicate to the fixed population up front."""
+        import jax.numpy as jnp
+
+        reps = max(1, self.sample // qreg.num_particles)
+        return self.ee.QuantumEnsemble(
+            jnp.repeat(qreg.log_w, reps) - float(np.log(reps)),
+            jnp.repeat(qreg.psi, reps, axis=0), qreg.lost_mass)
+
+    def num_particles(self, qreg) -> int:
+        return qreg.num_particles
+
+    # -- unitaries ----------------------------------------------------------
     def apply_circuit(self, qreg, circ):
         plan = self.compiler.compile_circuit(circ, window=self.window)
         return self.ee.apply_plan_ensemble(qreg, plan)
@@ -92,6 +121,35 @@ class _Engine:
         circ.gate(np.asarray(matrix, complex), list(targets), list(controls))
         return self.apply_circuit(qreg, circ)
 
+    def rotate(self, qreg, n, basis, targets, inverse=False):
+        """Basis rotation (B† per block, or its inverse) — None-safe."""
+        from qbot_tpu.frontend.lowering import _basis_rotation_plans
+
+        rot, inv = _basis_rotation_plans(basis, list(targets), n,
+                                         self.window)
+        plan = inv if inverse else rot
+        if plan is None:
+            return qreg
+        return self.ee.apply_plan_ensemble(qreg, plan)
+
+    # -- collapse events ----------------------------------------------------
+    def measure(self, qreg, n, targets):
+        if self.sample:
+            qreg, dist, _ = self.ee.measure_sample(
+                self.next_key(), qreg, n, targets)
+            return qreg, dist
+        return self.ee.measure_fanout(qreg, n, targets, self.max_particles,
+                                      mode=self.collapse_mode)
+
+    def discard(self, qreg, n, targets):
+        if self.sample:
+            return self.ee.discard_sample(self.next_key(), qreg, n, targets)
+        return self.ee.discard_fanout(qreg, n, targets, self.max_particles)
+
+    def peek(self, qreg, n, targets):
+        return self.ee.peek_probs(qreg, n, targets)
+
+    # -- branch bookkeeping -------------------------------------------------
     def concat(self, weighted):
         """Weight-concatenate [(p, QuantumEnsemble)] into one ensemble.
 
@@ -115,6 +173,248 @@ class _Engine:
         log_w, psi, lost = _prune(qreg.log_w, qreg.psi, self.max_particles,
                                   qreg.lost_mass)
         return QuantumEnsemble(log_w, psi, lost)
+
+    def mixture(self, qreg) -> np.ndarray:
+        return self.ee.ensemble_mixture(qreg)
+
+    def lost_mass(self, qreg) -> float:
+        return float(np.asarray(qreg.lost_mass))
+
+
+class _ShardedEngine(_Engine):
+    """Mesh twin: particle batches shard over the ``particles`` axis and
+    each register over the ``qubits`` axis (SURVEY.md §7 decision 2 —
+    "branch count B is a sharding axis").
+
+    Every operation keeps the CANONICAL identity qubit layout (appending
+    :func:`~qbot_tpu.tpu.sharded.plan_perm_to_identity` items after any
+    compiled segment that resharded), so ensembles from different program
+    branches stay concatenable and measurement outcome bits read in
+    logical order without host-side reordering.
+    """
+
+    def __init__(self, max_particles, window, collapse_mode, sample, seed,
+                 mesh):
+        super().__init__(max_particles, window, collapse_mode, sample, seed)
+        from qbot_tpu.tpu import sharded_ensemble as se
+
+        self.se = se
+        self.emesh = se.EnsembleMesh(mesh)
+        self.k = self.emesh.k
+
+    def q_ok(self, n: int) -> bool:
+        """Can an n-qubit register shard over the qubit axis?  Needs
+        n − k >= k (compile_sharded's guard); smaller registers replicate
+        over the qubit axis and parallelise on particles only."""
+        return self.k > 0 and n - self.k >= self.k
+
+    def _keff(self, n: int) -> int:
+        return self.k if self.q_ok(n) else 0
+
+    # -- state construction -------------------------------------------------
+    def init_pure(self, vec: np.ndarray):
+        from qbot_tpu.tpu.planar import to_planar
+        n = int_log2(np.asarray(vec).shape[0])
+        return self.se.init_sharded_ensemble(to_planar(vec), self.emesh,
+                                             q_sharded=self.q_ok(n))
+
+    def init_mixed(self, rho: np.ndarray):
+        from qbot_tpu.tpu.planar import to_planar
+        n = int_log2(np.asarray(rho).shape[0])
+        vals, vecs = np.linalg.eigh(np.asarray(rho, complex))
+        keep = vals > 1e-12
+        vals, vecs = vals[keep], vecs[:, keep]
+        psi = np.stack([to_planar(vecs[:, i]) for i in range(vals.shape[0])])
+        return self.se.init_sharded_ensemble(
+            psi, self.emesh, log_w=np.log(vals / vals.sum()),
+            q_sharded=self.q_ok(n))
+
+    def replicate(self, qreg):
+        w, kets = self.se.gather_ensemble(qreg)
+        from qbot_tpu.tpu.planar import to_planar
+        n = int_log2(kets.shape[-1])
+        reps = max(1, self.sample // kets.shape[0])
+        psi = np.repeat(np.stack([to_planar(kk) for kk in kets]), reps,
+                        axis=0)
+        lw = np.repeat(np.log(np.clip(w, 1e-300, None)), reps) - np.log(reps)
+        return self.se.init_sharded_ensemble(psi, self.emesh, log_w=lw,
+                                             q_sharded=self.q_ok(n))
+
+    def num_particles(self, qreg) -> int:
+        # count live particles (dead pad slots carry ~-1e30 log-weight)
+        return int(np.sum(np.asarray(qreg.log_w) > -1e29))
+
+    # -- unitaries ----------------------------------------------------------
+    def _apply_canonical(self, qreg, circ):
+        """Compile on the identity layout, run, restore the identity."""
+        from qbot_tpu.tpu.sharded import (
+            ShardedPlan,
+            compile_sharded,
+            plan_perm_to_identity,
+        )
+
+        keff = self._keff(circ.n)
+        splan = compile_sharded(circ, keff, window=self.window)
+        fix, perm = plan_perm_to_identity(splan.final_perm, circ.n, keff)
+        if fix:
+            splan = ShardedPlan(n=splan.n, k=splan.k,
+                                items=list(splan.items) + fix,
+                                final_perm=perm,
+                                num_params=splan.num_params,
+                                gate_count=splan.gate_count)
+        return self.se.apply_sharded_plan_ensemble(qreg, splan, self.emesh)
+
+    def apply_circuit(self, qreg, circ):
+        return self._apply_canonical(qreg, circ)
+
+    def rotate(self, qreg, n, basis, targets, inverse=False):
+        from qbot_tpu.tpu.circuit import Circuit
+
+        is_comp = basis.numQubits == 1 and all(
+            np.allclose(kt, e) for kt, e in zip(
+                basis.kets, np.eye(2, dtype=complex)))
+        if is_comp:
+            return qreg
+        rot = np.stack(basis.kets).conj()
+        if inverse:
+            rot = rot.conj().T
+        bq = basis.numQubits
+        circ = Circuit(n)
+        targets = sorted(targets)
+        for i in range(0, len(targets), bq):
+            circ.gate(rot, list(targets[i:i + bq]))
+        return self._apply_canonical(qreg, circ)
+
+    # -- collapse events ----------------------------------------------------
+    def _layout(self, n, targets):
+        """(shard positions, local axes) of sorted targets on the identity
+        layout; outcome bit order is automatically logical-sorted."""
+        targets = sorted(targets)
+        keff = self._keff(n)
+        shard_pos = [q for q in targets if q < keff]
+        local = [q - keff for q in targets if q >= keff]
+        return shard_pos, local
+
+    def _localized(self, qreg, n, targets):
+        """Apply reshards making targets local; returns (qreg, perm)."""
+        from qbot_tpu.tpu.sharded import (
+            ShardedPlan,
+            plan_reshards_to_localize,
+        )
+
+        keff = self._keff(n)
+        items, perm = plan_reshards_to_localize(
+            list(range(n)), n, keff, sorted(targets))
+        if items:
+            splan = ShardedPlan(n=n, k=keff, items=items, final_perm=perm)
+            qreg = self.se.apply_sharded_plan_ensemble(qreg, splan,
+                                                       self.emesh)
+        return qreg, perm
+
+    def _restore(self, qreg, n, perm):
+        from qbot_tpu.tpu.sharded import ShardedPlan, plan_perm_to_identity
+
+        keff = self._keff(n)
+        items, out = plan_perm_to_identity(perm, n, keff)
+        if items:
+            splan = ShardedPlan(n=n, k=keff, items=items, final_perm=out)
+            qreg = self.se.apply_sharded_plan_ensemble(qreg, splan,
+                                                       self.emesh)
+        return qreg
+
+    def measure(self, qreg, n, targets):
+        targets = sorted(targets)
+        q_s = self.q_ok(n)
+        shard_pos, local = self._layout(n, targets)
+        if self.sample:
+            qreg, dist = self.se.measure_sample_sharded(
+                self.next_key(), qreg, n, local, self.emesh,
+                shard_positions=shard_pos, q_sharded=q_s)
+            return qreg, np.asarray(dist)
+        mode = self.collapse_mode
+        if mode == "reference" and shard_pos:
+            if len(targets) == n:
+                mode = "projective"      # identical semantics on all-qubits
+            else:
+                from qbot_tpu.frontend.lowering import _reorder_outcome_bits
+
+                keff = self._keff(n)
+                qreg, perm = self._localized(qreg, n, targets)
+                pos = [0] * n
+                for p, q in enumerate(perm):
+                    pos[q] = p
+                local = sorted(pos[q] - keff for q in targets)
+                phys_logicals = [perm[a + keff] for a in local]
+                qreg, dist = self.se.measure_fanout_sharded(
+                    qreg, n, local, self.emesh, self.max_particles,
+                    mode=mode, q_sharded=q_s)
+                qreg = self._restore(qreg, n, perm)
+                dist = _reorder_outcome_bits(np.asarray(dist),
+                                             phys_logicals, targets)
+                return qreg, dist
+        qreg, dist = self.se.measure_fanout_sharded(
+            qreg, n, local, self.emesh, self.max_particles, mode=mode,
+            shard_positions=shard_pos, q_sharded=q_s)
+        return qreg, np.asarray(dist)
+
+    def discard(self, qreg, n, targets):
+        targets = sorted(targets)
+        q_s = self.q_ok(n)
+        keff = self._keff(n)
+        qreg, perm = self._localized(qreg, n, targets)
+        pos = [0] * n
+        for p, q in enumerate(perm):
+            pos[q] = p
+        local = sorted(pos[q] - keff for q in targets)
+        if self.sample:
+            qreg = self.se.discard_sample_sharded(
+                self.next_key(), qreg, n, local, self.emesh, q_sharded=q_s)
+        else:
+            qreg = self.se.discard_fanout_sharded(
+                qreg, n, local, self.emesh, self.max_particles,
+                q_sharded=q_s)
+        removed = {pos[q] for q in targets}
+        new_perm = [q - sum(1 for r in targets if r < q)
+                    for p, q in enumerate(perm) if p not in removed]
+        new_n = n - len(targets)
+        if q_s and not self.q_ok(new_n):
+            # the shrunk register no longer shards over the qubit axis:
+            # gather (it is tiny now — at most 2^(2k−1) amplitudes),
+            # restore logical order on the host, re-place replicated
+            from qbot_tpu.tpu.planar import to_planar
+
+            w, kets = self.se.gather_ensemble(qreg, new_perm)
+            psi = np.stack([to_planar(kk) for kk in kets])
+            lw = np.log(np.clip(w, 1e-300, None))
+            fresh = self.se.init_sharded_ensemble(
+                psi, self.emesh, log_w=lw, q_sharded=False)
+            return self.se.ShardedEnsemble(fresh.log_w, fresh.psi,
+                                           qreg.lost_mass)
+        return self._restore(qreg, new_n, new_perm)
+
+    def peek(self, qreg, n, targets):
+        shard_pos, local = self._layout(n, sorted(targets))
+        return np.asarray(self.se.peek_probs_sharded(
+            qreg, n, local, self.emesh, shard_positions=shard_pos,
+            q_sharded=self.q_ok(n)))
+
+    # -- branch bookkeeping -------------------------------------------------
+    def concat(self, weighted):
+        n = int_log2(weighted[0][1].psi.shape[-1])
+        q_s = self.q_ok(n)
+        return self.prune(
+            self.se.concat_sharded(weighted, self.emesh, q_sharded=q_s))
+
+    def prune(self, qreg):
+        n = int_log2(qreg.psi.shape[-1])
+        return self.se.prune_sharded(qreg, self.max_particles, self.emesh,
+                                     q_sharded=self.q_ok(n))
+
+    def mixture(self, qreg) -> np.ndarray:
+        return self.se.sharded_ensemble_mixture(qreg)
+
+    def lost_mass(self, qreg) -> float:
+        return float(np.asarray(qreg.lost_mass))
 
 
 def _to_density_host(lines, line_num, val):
@@ -147,15 +447,10 @@ def _fanout_args(lines, line_num, *vals):
 def _exec_quantum(engine: _Engine, particle: _DeviceParticle, lines,
                   line_num, tokens) -> None:
     """Run one quantum op against the particle's device register."""
-    from qbot_tpu.frontend.lowering import (
-        _basis_rotation_plans,
-        _make_result,
-    )
-    from qbot_tpu.tpu.planar import to_planar
+    from qbot_tpu.frontend.lowering import _make_result
 
     ns = particle.ns
     op_name = tokens[0]
-    ee = engine.ee
 
     if op_name == "qset":
         if len(tokens) > 2:
@@ -166,21 +461,14 @@ def _exec_quantum(engine: _Engine, particle: _DeviceParticle, lines,
         val = evaluate_expr(lines, line_num, tokens[1], ns)
         rho = _to_density_host(lines, line_num, val)
         particle.n = int_log2(rho.shape[0])
-        import jax.numpy as jnp
         vals, vecs = np.linalg.eigh(rho)
         if np.isclose(vals[-1], np.trace(rho).real, atol=1e-9):
             # pure state: a single particle, no mixture
-            particle.qreg = ee.init_ensemble(
-                jnp.asarray(to_planar(vecs[:, -1])))
+            particle.qreg = engine.init_pure(vecs[:, -1])
         else:
-            particle.qreg = ee.init_mixed_ensemble(rho)
+            particle.qreg = engine.init_mixed(rho)
         if engine.sample:
-            # SMC regime: replicate to the fixed population up front
-            q = particle.qreg
-            reps = max(1, engine.sample // q.num_particles)
-            particle.qreg = ee.QuantumEnsemble(
-                jnp.repeat(q.log_w, reps) - float(np.log(reps)),
-                jnp.repeat(q.psi, reps, axis=0), q.lost_mass)
+            particle.qreg = engine.replicate(particle.qreg)
         ns["__is_q_state"] = True
         ns["__updated_state"] = True
         return
@@ -267,12 +555,7 @@ def _exec_quantum(engine: _Engine, particle: _DeviceParticle, lines,
                                  targets.type_string())
         targets = sorted(set(int(q) for q in targets))
         ops._check_targets_in_range(lines, line_num, targets, n)
-        if engine.sample:
-            particle.qreg = engine.ee.discard_sample(
-                engine.next_key(), particle.qreg, n, targets)
-        else:
-            particle.qreg = engine.ee.discard_fanout(
-                particle.qreg, n, targets, engine.max_particles)
+        particle.qreg = engine.discard(particle.qreg, n, targets)
         particle.n = n - len(targets)
         return
 
@@ -289,23 +572,12 @@ def _exec_quantum(engine: _Engine, particle: _DeviceParticle, lines,
             lines, line_num,
             evaluate_expr(lines, line_num, tokens[3], ns))))
     ops._check_targets_in_range(lines, line_num, targets, n)
-    rot, inv = _basis_rotation_plans(basis, list(targets), n, engine.window)
-    qreg = particle.qreg
-    if rot is not None:
-        qreg = engine.ee.apply_plan_ensemble(qreg, rot)
+    qreg = engine.rotate(particle.qreg, n, basis, targets)
     if op_name == "meas":
-        if engine.sample:
-            qreg, dist, _ = engine.ee.measure_sample(
-                engine.next_key(), qreg, n, targets)
-        else:
-            qreg, dist = engine.ee.measure_fanout(
-                qreg, n, targets, engine.max_particles,
-                mode=engine.collapse_mode)
-        if inv is not None:
-            qreg = engine.ee.apply_plan_ensemble(qreg, inv)
-        particle.qreg = qreg
+        qreg, dist = engine.measure(qreg, n, targets)
+        particle.qreg = engine.rotate(qreg, n, basis, targets, inverse=True)
     else:
-        dist = engine.ee.peek_probs(qreg, n, targets)
+        dist = engine.peek(qreg, n, targets)
     ns[name] = _make_result(basis, targets, np.asarray(dist))
 
 
@@ -411,15 +683,26 @@ def execute_lines_device_ensemble(lines: list[str],
                                   collapse_mode: str = "reference",
                                   sample: int = 0,
                                   seed: int = 0,
-                                  prune_tol: float = 1e-6):
+                                  prune_tol: float = 1e-6,
+                                  mesh=None):
     """Run a program with probabilistic control flow on the device engine.
 
     Returns (EnsembleResult, finished _DeviceParticles).  The merged
     namespace binds ``state`` to the branch-weighted mixture — identical to
     :func:`qbot_tpu.frontend.ensemble.execute_lines_ensemble`'s contract —
     while the per-branch device ensembles stay available on the particles.
+
+    ``mesh``: a (particles × qubits) :class:`jax.sharding.Mesh` switches
+    every quantum operation to the mesh-sharded engine — branch particles
+    ride the ``particles`` axis and each register shards over ``qubits``
+    (SURVEY.md §7 decision 2).  ProbVal control flow, branch forking, and
+    the namespace merge are byte-identical to the single-device run.
     """
-    engine = _Engine(max_particles, window, collapse_mode, sample, seed)
+    if mesh is not None:
+        engine = _ShardedEngine(max_particles, window, collapse_mode,
+                                sample, seed, mesh)
+    else:
+        engine = _Engine(max_particles, window, collapse_mode, sample, seed)
     ns = {"state": None, "__updated_state": False, "__marks": {},
           "__prev_jump": -1}
     record_marks(ns, lines)
@@ -436,10 +719,9 @@ def execute_lines_device_ensemble(lines: list[str],
                 f"particles; raise max_particles")
 
     # bind each branch's dense mixture so the host merge applies verbatim
-    from qbot_tpu.inference.ensemble_exec import ensemble_mixture
     from qbot_tpu.ops.core import empty_state
     for p in finished:
-        p.ns["state"] = (ensemble_mixture(p.qreg)
+        p.ns["state"] = (engine.mixture(p.qreg)
                          if p.qreg is not None else empty_state())
     merged = _merge_particles(finished)
     # cumulative pruned-mass bound across branches: a prob-weighted mixture
@@ -447,7 +729,7 @@ def execute_lines_device_ensemble(lines: list[str],
     # exactly like run_lowered_ensemble (lowering.py) so --compile
     # --ensemble never drops mass silently
     total_p = sum(p.prob for p in finished) or 1.0
-    lost = sum(p.prob * float(p.qreg.lost_mass)
+    lost = sum(p.prob * engine.lost_mass(p.qreg)
                for p in finished if p.qreg is not None) / total_p
     if lost > prune_tol:
         import warnings

@@ -70,6 +70,27 @@ class ShardedFlip:
 
 
 @dataclass(frozen=True)
+class LocalPerm:
+    """Shard-local qubit-axis transpose: new local axis i holds what was
+    at local axis ``order[i]``.  Zero communication, one HBM pass — used
+    when target localization finds no contiguous free exchange block."""
+    order: tuple[int, ...]
+
+
+@dataclass(frozen=True)
+class BitSwap:
+    """Exchange ONE sharded axis (device bit ``shard_pos``) with ONE local
+    qubit axis: each device keeps the local slice matching its own bit and
+    ppermutes the other half to the device differing in that bit — half
+    the state crosses the links (vs (K−1)/K for a full Reshard).  The
+    primitive that makes ANY layout reachable (full-block all_to_alls can
+    never mix the sharded set with the local set in the tight n = 2k
+    case)."""
+    shard_pos: int
+    local_axis: int
+
+
+@dataclass(frozen=True)
 class ShardedReflect:
     """Householder reflection about a product state, sharded.
 
@@ -181,7 +202,7 @@ class ShardedDiag:
 
 
 Item = Union[LocalSegment, Reshard, ShardedFlip, ShardedDiag,
-             ShardedReflect]
+             ShardedReflect, LocalPerm, BitSwap]
 
 
 @dataclass
@@ -222,7 +243,8 @@ def _support(op: CircuitOp) -> tuple[int, ...]:
     return tuple(op.controls) + tuple(op.targets)
 
 
-def compile_sharded(circ: Circuit, k: int, window: int = 7) -> ShardedPlan:
+def compile_sharded(circ: Circuit, k: int, window: int = 7,
+                    initial_perm=None) -> ShardedPlan:
     """Compile a circuit for a 2^k-way sharded register.
 
     Tracks the logical→physical qubit permutation across reshards.  Ops on
@@ -232,12 +254,25 @@ def compile_sharded(circ: Circuit, k: int, window: int = 7) -> ShardedPlan:
     costs exactly ONE all_to_all, not one per blocked op.  The exchange
     block is chosen to evict qubits that no blocked op needs (Belady-style:
     minimise overlap with the pending-front support).
+
+    ``initial_perm``: the state's starting physical→logical permutation
+    (a previous plan's ``final_perm``) — lets program segments between
+    collapse points compose without restoring logical order in between.
     """
     n = circ.n
     if k < 0 or (k and n - k < k):
         raise ValueError(f"cannot shard {n} qubits {2**k} ways")
-    pos = list(range(n))                 # pos[logical] = physical
-    perm = list(range(n))                # perm[physical] = logical
+    if initial_perm is None:
+        pos = list(range(n))             # pos[logical] = physical
+        perm = list(range(n))            # perm[physical] = logical
+    else:
+        perm = list(initial_perm)
+        if sorted(perm) != list(range(n)):
+            raise ValueError(f"initial_perm {perm} is not a permutation "
+                             f"of range({n})")
+        pos = [0] * n
+        for p, q in enumerate(perm):
+            pos[q] = p
     splan = ShardedPlan(n=n, k=k, num_params=circ.num_params,
                         gate_count=circ.gate_count)
     pending = Circuit(n - k)
@@ -398,6 +433,115 @@ def compile_sharded(circ: Circuit, k: int, window: int = 7) -> ShardedPlan:
     return splan
 
 
+def plan_reshards_to_localize(perm, n: int, k: int, logical_targets):
+    """Reshard items making every target's physical position local (>= k).
+
+    Collapse points (mid-circuit ``meas``/``disc``) need their target
+    qubits on local axes so the outcome split is shard-local; ONE
+    all_to_all always suffices — exchange the k sharded axes with a local
+    block disjoint from the targets' current positions.  Returns
+    (items, new_perm).
+    """
+    perm = list(perm)
+    if k == 0:
+        return [], perm
+    pos = [0] * n
+    for p, q in enumerate(perm):
+        pos[q] = p
+    if all(pos[q] >= k for q in logical_targets):
+        return [], perm
+    items: list = []
+    must = {pos[q] for q in logical_targets}
+    best = None
+    for m in range(n - k, k - 1, -1):
+        if not (set(range(m, m + k)) & must):
+            best = m
+            break
+    if best is None:
+        # no contiguous free block: transpose the local axes so local
+        # targets sit at the FRONT of the local region, freeing the tail
+        # (zero communication, one HBM pass)
+        local_t = sorted(p - k for p in must if p >= k)
+        if (n - k) - len(local_t) < k:
+            raise ValueError(
+                f"cannot localize targets {sorted(logical_targets)}: only "
+                f"{(n - k) - len(local_t)} non-target local axes for a "
+                f"width-{k} exchange block ({n} qubits)")
+        order = tuple(local_t
+                      + [a for a in range(n - k) if a not in local_t])
+        items.append(LocalPerm(order))
+        old_local = perm[k:]
+        perm[k:] = [old_local[a] for a in order]
+        best = n - k
+    for i in range(k):
+        perm[i], perm[best + i] = perm[best + i], perm[i]
+    items.append(Reshard(best))
+    return items, perm
+
+
+def apply_bitswap_local(psi, item: BitSwap, n_local: int, k: int,
+                        q_axis: str):
+    """Apply a BitSwap to a shard-local planar block.
+
+    ``psi``: (..., 2, 2^n_local) with any leading batch dims.  Each device
+    keeps the local-axis slice equal to its own bit of ``shard_pos`` and
+    receives the complementary slice from the device differing in that
+    bit.
+    """
+    a = item.local_axis
+    pre = 2**a
+    post = 2 ** (n_local - a - 1)
+    lead = psi.shape[:-1]
+    t = psi.reshape(lead + (pre, 2, post))
+    ax = len(lead) + 1
+    dev = jax.lax.axis_index(q_axis)
+    bit = (dev >> (k - 1 - item.shard_pos)) & 1
+    keep = jnp.take(t, bit, axis=ax)
+    send = jnp.take(t, 1 - bit, axis=ax)
+    K = 2**k
+    mask = 1 << (k - 1 - item.shard_pos)
+    recv = jax.lax.ppermute(send, q_axis,
+                            perm=[(d, d ^ mask) for d in range(K)])
+    cond = (bit == 0)
+    s0 = jnp.where(cond, keep, recv)
+    s1 = jnp.where(cond, recv, keep)
+    out = jnp.stack([s0, s1], axis=ax)
+    return out.reshape(psi.shape)
+
+
+def plan_perm_to_identity(perm, n: int, k: int):
+    """Layout items restoring logical qubit order (perm → identity).
+
+    BitSwaps place each of logical 0..k-1 at its sharded slot (evicting a
+    mis-sharded occupant to a local axis first when needed), then one
+    LocalPerm sorts the local region.  Any layout is reachable — the
+    full-block all_to_all alone cannot mix the sharded set with the local
+    set in the tight n = 2k case.  Used by per-op executors (the sharded
+    device-ensemble engine) that keep a canonical identity layout so
+    branch ensembles stay concatenable.  Returns (items, identity perm).
+    """
+    perm = list(perm)
+    items: list = []
+    for p in range(k):
+        if perm[p] == p:
+            continue
+        pos = perm.index(p)
+        if pos < k:
+            # logical p is sharded at the wrong slot: evict to local axis 0
+            items.append(BitSwap(pos, 0))
+            perm[pos], perm[k] = perm[k], perm[pos]
+            pos = k
+        items.append(BitSwap(p, pos - k))
+        perm[p], perm[pos] = perm[pos], perm[p]
+    cur = perm[k:]
+    target = sorted(cur)
+    order = [cur.index(q) for q in target]
+    if order != list(range(n - k)):
+        items.append(LocalPerm(tuple(order)))
+        perm[k:] = target
+    return items, perm
+
+
 def unpermute_planar(psi, perm) -> jnp.ndarray:
     """Restore logical qubit order of a (2, 2^n) planar state whose axis p
     holds logical qubit ``perm[p]`` (the runner's output layout,
@@ -530,6 +674,12 @@ def make_sharded_planar_runner(splan: ShardedPlan, mesh: Mesh,
                 psi = psi.at[:, item.local_index].multiply(sign)
             elif isinstance(item, ShardedDiag):
                 psi = apply_sharded_diag(psi, item)
+            elif isinstance(item, LocalPerm):
+                t = psi.reshape((2,) + (2,) * n_local)
+                t = jnp.transpose(t, (0,) + tuple(1 + a for a in item.order))
+                psi = t.reshape(psi.shape)
+            elif isinstance(item, BitSwap):
+                psi = apply_bitswap_local(psi, item, n_local, k, axis_name)
             else:                        # Reshard
                 pre = 2 ** (item.m - k)
                 post = 2 ** (n - item.m - k)

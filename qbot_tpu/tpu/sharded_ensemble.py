@@ -1,0 +1,750 @@
+"""Mesh-sharded weighted particle ensembles: ProbVal + mid-circuit
+measurement at multi-chip scale.
+
+This is the module SURVEY.md §7 decision 2 calls for: the particle batch
+``(B, 2, 2^n)`` of :mod:`qbot_tpu.inference.ensemble_exec` lives on a
+2-D ``(particles, qubits)`` device mesh —
+
+* the **particle axis** shards branches/outcome fan-outs (pure data
+  parallelism; the scalable twin of the reference's ProbVal cartesian
+  product, /root/reference/qbot/probVal.py:347-390);
+* the **qubit axis** shards each particle's planar amplitude tensor over
+  its leading physical qubit axes exactly like
+  :mod:`qbot_tpu.tpu.sharded` (k = log2(qubit-shards)), so single
+  particles larger than one chip's HBM still run.
+
+Collapse events (``meas``/``disc`` anywhere in the program — reference
+semantics /root/reference/qbot/operators.py:396-425,169-188) work at any
+size: targets are first localized with ONE all_to_all
+(:func:`qbot_tpu.tpu.sharded.plan_reshards_to_localize`), then the
+outcome split is shard-local with the Born probabilities psummed over the
+qubit axis, and the fan-out rides the particle axis.
+
+Collective semantics:
+
+* weight normalization — ``psum`` over the particle axis;
+* outcome distributions — ``psum`` over qubits (per-particle Born
+  probability), then ``psum`` over particles (mixture marginal);
+* prune — per-particle-shard top-k quota (``max_particles / P`` each).
+  This equals the global top-k whenever surviving branches spread evenly
+  over shards; when they don't, MORE mass may be dropped than a global
+  top-k would drop — but ``lost_mass`` accumulates the mass *actually*
+  dropped (psummed), so the reported total-variation bound stays exact;
+* SMC resampling — island-model local systematic resampling: each
+  particle shard resamples within itself and keeps its island weight
+  (unbiased; standard distributed SMC).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from qbot_tpu.tpu.sharded import (
+    BitSwap,
+    LocalPerm,
+    LocalSegment,
+    Reshard,
+    ShardedDiag,
+    ShardedFlip,
+    ShardedPlan,
+    ShardedReflect,
+    _shard_map,
+    apply_bitswap_local,
+)
+
+__all__ = ["EnsembleMesh", "ShardedEnsemble", "init_sharded_ensemble",
+           "apply_sharded_plan_ensemble", "measure_fanout_sharded",
+           "discard_fanout_sharded", "measure_sample_sharded",
+           "discard_sample_sharded", "peek_probs_sharded",
+           "prune_sharded", "concat_sharded",
+           "gather_ensemble", "sharded_ensemble_mixture"]
+
+_NEG = -1e30          # dead-particle log-weight (exp underflows to 0)
+_MIN_P = 1e-12
+
+
+@dataclass(frozen=True)
+class EnsembleMesh:
+    """A (particles × qubit-shards) mesh view for ensemble execution."""
+    mesh: Mesh
+    p_axis: str = "particles"
+    q_axis: str = "qubits"
+
+    @property
+    def P(self) -> int:
+        return int(dict(self.mesh.shape)[self.p_axis])
+
+    @property
+    def K(self) -> int:
+        return int(dict(self.mesh.shape)[self.q_axis])
+
+    @property
+    def k(self) -> int:
+        return int(self.K).bit_length() - 1
+
+    def specs(self, q_sharded: bool = True):
+        """(log_w spec, psi spec).  ``q_sharded=False`` replicates each
+        register over the qubit axis — the fallback for registers too
+        small to shard (n < 2k); the particle axis still parallelises."""
+        if q_sharded:
+            return (P(self.p_axis), P(self.p_axis, None, self.q_axis))
+        return (P(self.p_axis), P(self.p_axis, None, None))
+
+
+class ShardedEnsemble(NamedTuple):
+    """Weighted particle batch on the mesh (see module docstring).
+
+    ``log_w``: (B,) sharded over particles; ``psi``: (B, 2, 2^n) sharded
+    over (particles, qubits); ``lost_mass``: replicated scalar — the
+    cumulative pruned-probability TV bound, exactly as in
+    :class:`qbot_tpu.inference.ensemble_exec.QuantumEnsemble`.
+    """
+    log_w: jax.Array
+    psi: jax.Array
+    lost_mass: jax.Array | float = 0.0
+
+    @property
+    def num_particles(self) -> int:
+        return self.log_w.shape[0]
+
+
+def _pad_batch(log_w: np.ndarray, psi: np.ndarray, multiple: int):
+    B = log_w.shape[0]
+    rem = (-B) % multiple
+    if rem:
+        log_w = np.concatenate([log_w, np.full((rem,), _NEG, log_w.dtype)])
+        psi = np.concatenate(
+            [psi, np.zeros((rem,) + psi.shape[1:], psi.dtype)])
+    return log_w, psi
+
+
+def init_sharded_ensemble(psi0, emesh: EnsembleMesh,
+                          log_w=None,
+                          q_sharded: bool = True) -> ShardedEnsemble:
+    """Place a host batch of planar states on the mesh.
+
+    ``psi0``: (2, 2^n) single state or (B, 2, 2^n) batch; ``log_w``
+    defaults to uniform over the given batch.  The batch is padded with
+    dead (zero-weight) particles to a multiple of the particle-shard
+    count so per-shard shapes stay static.
+    """
+    psi0 = np.asarray(psi0, np.float32)
+    if psi0.ndim == 2:
+        psi0 = psi0[None]
+    B = psi0.shape[0]
+    lw = (np.full((B,), -np.log(B), np.float32) if log_w is None
+          else np.asarray(log_w, np.float32))
+    lw, psi0 = _pad_batch(lw, psi0, emesh.P)
+    spec_w, spec_psi = emesh.specs(q_sharded)
+    return ShardedEnsemble(
+        jax.device_put(jnp.asarray(lw), NamedSharding(emesh.mesh, spec_w)),
+        jax.device_put(jnp.asarray(psi0),
+                       NamedSharding(emesh.mesh, spec_psi)),
+        0.0)
+
+
+# ---------------------------------------------------------------------------
+# batched shard-local plan application (the qubit-axis executor of
+# tpu/sharded.py with a leading local-particle axis)
+# ---------------------------------------------------------------------------
+
+def _apply_items_batched(psi, params, splan: ShardedPlan, q_axis: str):
+    """psi: local (Bl, 2, 2^(n-k)) block; applies every plan item."""
+    from qbot_tpu.tpu.planar import apply_plan_planar
+
+    n, k = splan.n, splan.k
+    K = 2**k
+    n_local = n - k
+
+    for item in splan.items:
+        if isinstance(item, LocalSegment):
+            psi = jax.vmap(
+                lambda p: apply_plan_planar(p, item.plan, params))(psi)
+        elif isinstance(item, ShardedFlip):
+            here = jax.lax.axis_index(q_axis) == item.owner
+            sign = jnp.where(here, -1.0, 1.0).astype(psi.dtype)
+            psi = psi.at[:, :, item.local_index].multiply(sign)
+        elif isinstance(item, ShardedDiag):
+            psi = _batched_sharded_diag(psi, item, n_local, k, q_axis)
+        elif isinstance(item, ShardedReflect):
+            psi = _batched_sharded_reflect(psi, item, k, q_axis)
+        elif isinstance(item, LocalPerm):
+            Bl = psi.shape[0]
+            t = psi.reshape((Bl, 2) + (2,) * n_local)
+            t = jnp.transpose(t, (0, 1) + tuple(2 + a for a in item.order))
+            psi = t.reshape(psi.shape)
+        elif isinstance(item, BitSwap):
+            psi = apply_bitswap_local(psi, item, n_local, k, q_axis)
+        else:                            # Reshard
+            Bl = psi.shape[0]
+            pre = 2 ** (item.m - k)
+            post = 2 ** (n - item.m - k)
+            t = psi.reshape(Bl, 2, pre, K, post)
+            t = jax.lax.all_to_all(t, q_axis, split_axis=3,
+                                   concat_axis=3, tiled=True)
+            psi = t.reshape(Bl, 2, 2**n_local)
+    return psi
+
+
+def _batched_sharded_diag(psi, item: ShardedDiag, n_local: int, k: int,
+                          q_axis: str):
+    S = len(item.positions)
+    dev = jax.lax.axis_index(q_axis)
+    dr = jnp.asarray(item.diag.real.reshape((2,) * S), psi.dtype)
+    di = jnp.asarray(item.diag.imag.reshape((2,) * S), psi.dtype)
+    local_axes = []
+    for ax in range(S - 1, -1, -1):
+        p = item.positions[ax]
+        if p < k:
+            bit = (dev >> (k - 1 - p)) & 1
+            dr = jnp.take(dr, bit, axis=ax)
+            di = jnp.take(di, bit, axis=ax)
+        else:
+            local_axes.append(p - k)
+    local_axes.reverse()
+    order = list(np.argsort(local_axes))
+    if local_axes:
+        dr = jnp.transpose(dr, order)
+        di = jnp.transpose(di, order)
+    shape = [1] * n_local
+    for a in local_axes:
+        shape[a] = 2
+    dr = dr.reshape([1] + shape)         # broadcast over the particle axis
+    di = di.reshape([1] + shape)
+    Bl = psi.shape[0]
+    t = psi.reshape((Bl, 2) + (2,) * n_local)
+    pr, pi = t[:, 0], t[:, 1]
+    out_r = dr * pr - di * pi
+    out_i = dr * pi + di * pr
+    return jnp.stack([out_r, out_i], axis=1).reshape(psi.shape)
+
+
+def _batched_sharded_reflect(psi, item: ShardedReflect, k: int,
+                             q_axis: str):
+    """Per-particle ψ → ψ − 2⟨v|ψ⟩v; one psum of (Bl,) complex partials."""
+    dev = jax.lax.axis_index(q_axis)
+    sr = jnp.asarray(1.0, psi.dtype)
+    si = jnp.asarray(0.0, psi.dtype)
+    for p, f in enumerate(item.shard_factors):
+        bit = (dev >> (k - 1 - p)) & 1
+        fr = jnp.asarray(np.real(f), psi.dtype)[bit]
+        fi = jnp.asarray(np.imag(f), psi.dtype)[bit]
+        sr, si = sr * fr - si * fi, sr * fi + si * fr
+
+    Bl = psi.shape[0]
+    t = psi                                # (Bl, 2, L)
+    for f in item.local_factors:
+        fr = jnp.asarray(np.real(f), psi.dtype)
+        fi = jnp.asarray(np.imag(f), psi.dtype)
+        W = jnp.stack([jnp.stack([fr, fi]), jnp.stack([-fi, fr])])
+        t = jnp.einsum("acx,bcxr->bar", W, t.reshape(Bl, 2, 2, -1),
+                       precision=jax.lax.Precision.HIGHEST)
+    cr, ci = t[:, 0, 0], t[:, 1, 0]        # (Bl,)
+    gr = jax.lax.psum(sr * cr + si * ci, q_axis)
+    gi = jax.lax.psum(sr * ci - si * cr, q_axis)
+
+    nl = len(item.local_factors)
+    vr = jnp.asarray(1.0, psi.dtype)
+    vi = jnp.asarray(0.0, psi.dtype)
+    for ax, f in enumerate(item.local_factors):
+        shape = [1] * nl
+        shape[ax] = 2
+        br = jnp.asarray(np.real(f), psi.dtype).reshape(shape)
+        bi = jnp.asarray(np.imag(f), psi.dtype).reshape(shape)
+        vr, vi = vr * br - vi * bi, vr * bi + vi * br
+    ar = 2.0 * (gr * sr - gi * si)         # (Bl,)
+    ai = 2.0 * (gr * si + gi * sr)
+    bshape = (Bl,) + (1,) * nl
+    tshape = (Bl,) + (2,) * nl
+    pr = psi[:, 0].reshape(tshape)
+    pi = psi[:, 1].reshape(tshape)
+    arb = ar.reshape(bshape)
+    aib = ai.reshape(bshape)
+    out_r = pr - (arb * vr - aib * vi)
+    out_i = pi - (arb * vi + aib * vr)
+    return jnp.stack([out_r.reshape(Bl, -1), out_i.reshape(Bl, -1)], axis=1)
+
+
+def apply_sharded_plan_ensemble(ens: ShardedEnsemble, splan: ShardedPlan,
+                                emesh: EnsembleMesh,
+                                params=None) -> ShardedEnsemble:
+    """Run a qubit-sharded plan over every particle (no collectives on the
+    particle axis; reshards/psums ride the qubit axis only)."""
+    spec_w, spec_psi = emesh.specs(q_sharded=splan.k > 0)
+
+    def body(psi, prm):
+        return _apply_items_batched(psi, prm, splan, emesh.q_axis)
+
+    mapped = _shard_map(body, mesh=emesh.mesh,
+                        in_specs=(spec_psi, P()), out_specs=spec_psi)
+    if params is None:
+        params = jnp.zeros((max(splan.num_params, 1),), ens.psi.dtype)
+    psi = jax.jit(mapped)(ens.psi, params)
+    return ShardedEnsemble(ens.log_w, psi, ens.lost_mass)
+
+
+# ---------------------------------------------------------------------------
+# collapse events: measurement / discard fan-out on the mesh
+# ---------------------------------------------------------------------------
+
+def _global_normalize(log_w, p_axis):
+    """log_w − log Σ_global exp(log_w) via a psum-logsumexp."""
+    m_local = jnp.max(log_w)
+    m = jax.lax.pmax(m_local, p_axis)
+    z = jax.lax.psum(jnp.sum(jnp.exp(log_w - m)), p_axis)
+    return log_w - (m + jnp.log(z))
+
+
+def _shard_outcome_index(shard_positions: Sequence[int], k: int,
+                         q_axis: str):
+    """This device's outcome bits for targets living on sharded axes —
+    the measurement of a sharded qubit reads the device id, no data
+    movement at all (MSB-first over ascending shard positions)."""
+    dev = jax.lax.axis_index(q_axis)
+    t_s = len(shard_positions)
+    os = jnp.zeros((), jnp.int32)
+    for i, pp in enumerate(shard_positions):
+        bit = (dev >> (k - 1 - pp)) & 1
+        os = os | (bit.astype(jnp.int32) << (t_s - 1 - i))
+    return os
+
+
+def _outcome_split_local(psi, n_local: int, targets: Sequence[int],
+                         q_axis: str, shard_positions: Sequence[int] = (),
+                         k: int = 0, q_sharded: bool = True):
+    """Shard-local block of ensemble_exec._outcome_split, generalised to
+    targets on BOTH local and sharded axes.
+
+    psi: (2, 2^n_local).  Local ``targets`` split into K_l blocks as on a
+    single device; sharded targets contribute device-id bits: this shard
+    holds amplitude only for outcomes whose sharded bits equal its own, so
+    its probabilities/states scatter at offset ``os·K_l`` and every other
+    outcome row is zero (the projection masks whole shards — zero
+    communication beyond the probability psum).  Outcome bit order:
+    sharded targets (ascending physical position) then local targets
+    (ascending axis), MSB-first; probabilities psum over the qubit axis;
+    collapsed states normalised by GLOBAL p.
+    """
+    targets = sorted(targets)
+    t = len(targets)
+    K_l = 2**t
+    K = K_l * 2 ** len(shard_positions)
+    pt = psi.reshape((2,) + (2,) * n_local)
+    pt = jnp.moveaxis(pt, [1 + q for q in targets], list(range(1, 1 + t)))
+    pt = pt.reshape(2, K_l, -1)
+    p_l = jnp.sum(pt**2, axis=(0, 2))                         # (K_l,)
+    if shard_positions:
+        os = _shard_outcome_index(shard_positions, k, q_axis)
+        rows = os * K_l + jnp.arange(K_l)
+        p = jax.lax.psum(
+            jnp.zeros((K,), p_l.dtype).at[rows].set(p_l), q_axis)
+        my_p = p[rows]
+    elif q_sharded:
+        p = jax.lax.psum(p_l, q_axis)                         # global (K,)
+        my_p = p
+    else:
+        p = p_l                       # register replicated over the q axis
+        my_p = p
+    eye = jnp.eye(K_l, dtype=psi.dtype)
+    proj = jnp.einsum("kj,cjr->kcjr", eye, pt)
+    norm = jnp.sqrt(jnp.clip(my_p, _MIN_P))[:, None, None, None]
+    proj = proj / norm
+    proj = proj.reshape((K_l, 2) + (2,) * n_local)
+    proj = jnp.moveaxis(proj, list(range(2, 2 + t)),
+                        [2 + q for q in targets])
+    proj = proj.reshape(K_l, 2, -1)
+    if shard_positions:
+        proj = jnp.zeros((K,) + proj.shape[1:], proj.dtype
+                         ).at[rows].set(proj)
+    return p, proj
+
+
+def _discard_split_local(psi, n_local: int, targets: Sequence[int],
+                         q_axis: str, q_sharded: bool = True):
+    """Shard-local ensemble_exec._discard_split (global-normalised)."""
+    targets = sorted(targets)
+    t = len(targets)
+    K = 2**t
+    pt = psi.reshape((2,) + (2,) * n_local)
+    pt = jnp.moveaxis(pt, [1 + q for q in targets], list(range(1, 1 + t)))
+    pt = pt.reshape(2, K, -1)
+    p = jnp.sum(pt**2, axis=(0, 2))
+    if q_sharded:
+        p = jax.lax.psum(p, q_axis)
+    norm = jnp.sqrt(jnp.clip(p, _MIN_P))[None, :, None]
+    states = jnp.moveaxis(pt / norm, 1, 0)
+    return p, states
+
+
+def _replace_block_local(state, n_local: int, targets: Sequence[int],
+                         k_out: int):
+    """ensemble_exec._replace_block on the shard-local view (targets are
+    local axes; the collapsed block structure lives entirely locally)."""
+    targets = sorted(targets)
+    t = len(targets)
+    K = 2**t
+    pt = state.reshape((2,) + (2,) * n_local)
+    pt = jnp.moveaxis(pt, [1 + q for q in targets], list(range(1, 1 + t)))
+    pt = pt.reshape(2, K, -1)
+    phi = jnp.sum(pt, axis=1)
+    out = jnp.zeros_like(pt).at[:, k_out, :].set(phi)
+    out = out.reshape((2,) + (2,) * n_local)
+    out = jnp.moveaxis(out, list(range(1, 1 + t)), [1 + q for q in targets])
+    return out.reshape(state.shape)
+
+
+def _quota(B_total: int, K_fan: int, max_particles: int, Pshards: int):
+    """(new local batch, whether a prune happens) — decided host-side."""
+    grown = B_total * K_fan
+    if grown <= max_particles:
+        return grown // Pshards, False
+    keep = max(Pshards, (max_particles // Pshards) * Pshards)
+    return keep // Pshards, True
+
+
+def _prune_local(log_w, psi, quota: int, lost_mass, p_axis):
+    """Per-shard top-``quota`` + global renormalise; lost_mass accumulates
+    the ACTUAL globally-dropped mass (exact bound even though the
+    selection quota is per-shard)."""
+    total = log_w.shape[0]
+    if quota < total:
+        mass_before = jax.lax.psum(jnp.sum(jnp.exp(log_w)), p_axis)
+        log_w, idx = jax.lax.top_k(log_w, quota)
+        psi = psi[idx]
+        mass_after = jax.lax.psum(jnp.sum(jnp.exp(log_w)), p_axis)
+        dropped = 1.0 - mass_after / jnp.clip(mass_before, _MIN_P)
+        lost_mass = lost_mass + (1.0 - lost_mass) * dropped
+    log_w = _global_normalize(log_w, p_axis)
+    return log_w, psi, lost_mass
+
+
+def measure_fanout_sharded(ens: ShardedEnsemble, n: int,
+                           local_targets: Sequence[int],
+                           emesh: EnsembleMesh,
+                           max_particles: int = 256,
+                           mode: str = "reference",
+                           shard_positions: Sequence[int] = (),
+                           q_sharded: bool = True
+                           ) -> tuple[ShardedEnsemble, jax.Array]:
+    """Mesh twin of :func:`ensemble_exec.measure_fanout`.
+
+    ``local_targets`` are LOCAL physical axes of the (n−k)-qubit shard
+    block; ``shard_positions`` are target physical positions < k whose
+    outcome bit is the device id (zero-communication measurement).
+    ``mode="reference"`` (the decoupling semantics) relocates outcome
+    blocks, which needs locality — pass shard targets only with
+    ``projective`` (the caller falls back to localization or, for
+    all-qubit measurements where the two modes coincide, projective).
+    Fan-out is K-way (projective) or K²-way (reference) on the particle
+    axis; returns (pruned ensemble, outcome distribution).
+    """
+    if mode == "reference" and shard_positions:
+        raise ValueError("reference-mode collapse needs localized targets")
+    spec_w, spec_psi = emesh.specs(q_sharded)
+    k = emesh.k if q_sharded else 0
+    n_local = n - k
+    K = 2 ** (len(local_targets) + len(shard_positions))
+    B_total = ens.num_particles
+    Bl = B_total // emesh.P
+    fan = K * K if mode == "reference" else K
+    new_local, _ = _quota(B_total, fan, max_particles, emesh.P)
+
+    def body(log_w, psi, lost):
+        p_all, states = jax.vmap(
+            lambda s: _outcome_split_local(s, n_local, local_targets,
+                                           emesh.q_axis, shard_positions,
+                                           k, q_sharded))(psi)
+        lw_n = _global_normalize(log_w, emesh.p_axis)
+        w = jnp.exp(lw_n)
+        dist = jax.lax.psum(w @ p_all, emesh.p_axis)
+        logp = jnp.log(jnp.clip(p_all, _MIN_P))
+
+        if mode == "projective":
+            new_lw = (log_w[:, None] + logp).reshape(Bl * K)
+            new_psi = states.reshape((Bl * K, 2) + states.shape[3:])
+        elif mode == "reference":
+            relocated = jax.vmap(jax.vmap(
+                lambda s: jax.vmap(
+                    lambda ko: _replace_block_local(s, n_local,
+                                                    local_targets, ko)
+                )(jnp.arange(K))))(states)          # (Bl, K_j, K_k, 2, ·)
+            new_lw = (log_w[:, None, None] + logp[:, :, None]
+                      + logp[:, None, :]).reshape(Bl * K * K)
+            new_psi = relocated.reshape((Bl * K * K, 2) + states.shape[3:])
+        else:
+            raise ValueError(f"unknown collapse mode {mode!r}")
+
+        new_lw, new_psi, lost = _prune_local(new_lw, new_psi, new_local,
+                                             lost, emesh.p_axis)
+        return new_lw, new_psi, lost, dist
+
+    mapped = _shard_map(body, mesh=emesh.mesh,
+                        in_specs=(spec_w, spec_psi, P()),
+                        out_specs=(spec_w, spec_psi, P(), P()))
+    log_w, psi, lost, dist = jax.jit(mapped)(
+        ens.log_w, ens.psi, jnp.asarray(ens.lost_mass, jnp.float32))
+    return ShardedEnsemble(log_w, psi, lost), dist
+
+
+def discard_fanout_sharded(ens: ShardedEnsemble, n: int,
+                           local_targets: Sequence[int],
+                           emesh: EnsembleMesh,
+                           max_particles: int = 256,
+                           q_sharded: bool = True) -> ShardedEnsemble:
+    """Mesh twin of :func:`ensemble_exec.discard_fanout`: the register
+    SHRINKS by len(local_targets) qubits (all local axes — localize
+    first); the sharded axes stay, so the result is a reduced sharded
+    ψ-ensemble (the sharded partial trace / register shrink)."""
+    spec_w, spec_psi = emesh.specs(q_sharded)
+    k = emesh.k if q_sharded else 0
+    n_local = n - k
+    K = 2 ** len(local_targets)
+    B_total = ens.num_particles
+    Bl = B_total // emesh.P
+    new_local, _ = _quota(B_total, K, max_particles, emesh.P)
+
+    def body(log_w, psi, lost):
+        p_all, states = jax.vmap(
+            lambda s: _discard_split_local(s, n_local, local_targets,
+                                           emesh.q_axis, q_sharded))(psi)
+        logp = jnp.log(jnp.clip(p_all, _MIN_P))
+        new_lw = (log_w[:, None] + logp).reshape(Bl * K)
+        new_psi = states.reshape((Bl * K, 2) + states.shape[3:])
+        new_lw, new_psi, lost = _prune_local(new_lw, new_psi, new_local,
+                                             lost, emesh.p_axis)
+        return new_lw, new_psi, lost
+
+    mapped = _shard_map(body, mesh=emesh.mesh,
+                        in_specs=(spec_w, spec_psi, P()),
+                        out_specs=(spec_w, spec_psi, P()))
+    log_w, psi, lost = jax.jit(mapped)(
+        ens.log_w, ens.psi, jnp.asarray(ens.lost_mass, jnp.float32))
+    return ShardedEnsemble(log_w, psi, lost)
+
+
+def peek_probs_sharded(ens: ShardedEnsemble, n: int,
+                       local_targets: Sequence[int],
+                       emesh: EnsembleMesh,
+                       shard_positions: Sequence[int] = (),
+                       q_sharded: bool = True) -> jax.Array:
+    """Mixture-marginal outcome distribution, no state change."""
+    spec_w, spec_psi = emesh.specs(q_sharded)
+    k = emesh.k if q_sharded else 0
+    n_local = n - k
+
+    def body(log_w, psi):
+        p_all, _ = jax.vmap(
+            lambda s: _outcome_split_local(s, n_local, local_targets,
+                                           emesh.q_axis, shard_positions,
+                                           k, q_sharded))(psi)
+        w = jnp.exp(_global_normalize(log_w, emesh.p_axis))
+        return jax.lax.psum(w @ p_all, emesh.p_axis)
+
+    mapped = _shard_map(body, mesh=emesh.mesh,
+                        in_specs=(spec_w, spec_psi), out_specs=P())
+    return jax.jit(mapped)(ens.log_w, ens.psi)
+
+
+# ---------------------------------------------------------------------------
+# SMC (sampled) collapse: constant particle count, island resampling
+# ---------------------------------------------------------------------------
+
+def _island_resample(key, log_w, values_psi, ess_frac, p_axis,
+                     threshold: float = 0.5):
+    """Local systematic resampling within each particle shard, triggered
+    by the GLOBAL effective sample size.  Each island keeps its total
+    weight (redistributed uniformly over its particles) — the standard
+    unbiased island-particle-filter scheme; islands never exchange
+    particles, so no cross-shard state movement."""
+    Bl = log_w.shape[0]
+
+    def do(_):
+        m = jnp.max(log_w)
+        w = jnp.exp(log_w - m)
+        tot = jnp.sum(w)
+        wn = w / jnp.clip(tot, _MIN_P)
+        u = (jax.random.uniform(key, ()) + jnp.arange(Bl)) / Bl
+        idx = jnp.searchsorted(jnp.cumsum(wn), u)
+        idx = jnp.clip(idx, 0, Bl - 1)
+        island_log = m + jnp.log(jnp.clip(tot, _MIN_P))   # island weight
+        new_lw = jnp.full((Bl,), island_log - np.log(Bl), log_w.dtype)
+        return new_lw, values_psi[idx]
+
+    def skip(_):
+        return log_w, values_psi
+
+    return jax.lax.cond(ess_frac < threshold, do, skip, None)
+
+
+def measure_sample_sharded(key, ens: ShardedEnsemble, n: int,
+                           local_targets: Sequence[int],
+                           emesh: EnsembleMesh,
+                           ess_threshold: float = 0.5,
+                           shard_positions: Sequence[int] = (),
+                           q_sharded: bool = True
+                           ) -> tuple[ShardedEnsemble, jax.Array]:
+    """SMC-mode measurement on the mesh: each particle SAMPLES one outcome
+    from its own (qubit-psummed) Born distribution — the optimal proposal,
+    so weights are untouched; island resampling triggers on global ESS.
+
+    The per-particle PRNG key is folded with the GLOBAL particle index so
+    every qubit shard of the same particle draws the same outcome.
+    """
+    spec_w, spec_psi = emesh.specs(q_sharded)
+    k = emesh.k if q_sharded else 0
+    n_local = n - k
+    B_total = ens.num_particles
+    Bl = B_total // emesh.P
+
+    def body(log_w, psi, lost):
+        p_all, states = jax.vmap(
+            lambda s: _outcome_split_local(s, n_local, local_targets,
+                                           emesh.q_axis, shard_positions,
+                                           k, q_sharded))(psi)
+        lw_n = _global_normalize(log_w, emesh.p_axis)
+        w = jnp.exp(lw_n)
+        dist = jax.lax.psum(w @ p_all, emesh.p_axis)
+
+        shard = jax.lax.axis_index(emesh.p_axis)
+        gidx = shard * Bl + jnp.arange(Bl)
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(gidx)
+        outcomes = jax.vmap(
+            lambda kk, lp: jax.random.categorical(kk, lp)
+        )(keys, jnp.log(jnp.clip(p_all, _MIN_P)))
+        new_psi = jnp.take_along_axis(
+            states, outcomes[:, None, None, None], axis=1)[:, 0]
+
+        # global ESS of the (unchanged) weights
+        s1 = jax.lax.psum(jnp.sum(jnp.exp(lw_n)), emesh.p_axis)
+        s2 = jax.lax.psum(jnp.sum(jnp.exp(2.0 * lw_n)), emesh.p_axis)
+        ess_frac = (s1 * s1) / jnp.clip(s2, _MIN_P) / B_total
+        rkey = jax.random.fold_in(key, 2_000_000_000 + shard)
+        new_lw, new_psi = _island_resample(rkey, log_w, new_psi, ess_frac,
+                                           emesh.p_axis,
+                                           threshold=ess_threshold)
+        return new_lw, new_psi, lost, dist
+
+    mapped = _shard_map(body, mesh=emesh.mesh,
+                        in_specs=(spec_w, spec_psi, P()),
+                        out_specs=(spec_w, spec_psi, P(), P()))
+    log_w, psi, lost, dist = jax.jit(mapped)(
+        ens.log_w, ens.psi, jnp.asarray(ens.lost_mass, jnp.float32))
+    return ShardedEnsemble(log_w, psi, lost), dist
+
+
+def discard_sample_sharded(key, ens: ShardedEnsemble, n: int,
+                           local_targets: Sequence[int],
+                           emesh: EnsembleMesh,
+                           ess_threshold: float = 0.5,
+                           q_sharded: bool = True) -> ShardedEnsemble:
+    """SMC-mode ``disc`` on the mesh: sample ONE traced-out basis state
+    per particle; the register shrinks at constant particle count."""
+    spec_w, spec_psi = emesh.specs(q_sharded)
+    k = emesh.k if q_sharded else 0
+    n_local = n - k
+    B_total = ens.num_particles
+    Bl = B_total // emesh.P
+
+    def body(log_w, psi, lost):
+        p_all, states = jax.vmap(
+            lambda s: _discard_split_local(s, n_local, local_targets,
+                                           emesh.q_axis, q_sharded))(psi)
+        shard = jax.lax.axis_index(emesh.p_axis)
+        gidx = shard * Bl + jnp.arange(Bl)
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(gidx)
+        outcomes = jax.vmap(
+            lambda kk, lp: jax.random.categorical(kk, lp)
+        )(keys, jnp.log(jnp.clip(p_all, _MIN_P)))
+        new_psi = jnp.take_along_axis(
+            states, outcomes[:, None, None, None], axis=1)[:, 0]
+        lw_n = _global_normalize(log_w, emesh.p_axis)
+        s1 = jax.lax.psum(jnp.sum(jnp.exp(lw_n)), emesh.p_axis)
+        s2 = jax.lax.psum(jnp.sum(jnp.exp(2.0 * lw_n)), emesh.p_axis)
+        ess_frac = (s1 * s1) / jnp.clip(s2, _MIN_P) / B_total
+        rkey = jax.random.fold_in(key, 2_000_000_000 + shard)
+        new_lw, new_psi = _island_resample(rkey, log_w, new_psi, ess_frac,
+                                           emesh.p_axis,
+                                           threshold=ess_threshold)
+        return new_lw, new_psi, lost
+
+    mapped = _shard_map(body, mesh=emesh.mesh,
+                        in_specs=(spec_w, spec_psi, P()),
+                        out_specs=(spec_w, spec_psi, P()))
+    log_w, psi, lost = jax.jit(mapped)(
+        ens.log_w, ens.psi, jnp.asarray(ens.lost_mass, jnp.float32))
+    return ShardedEnsemble(log_w, psi, lost)
+
+
+def prune_sharded(ens: ShardedEnsemble, max_particles: int,
+                  emesh: EnsembleMesh,
+                  q_sharded: bool = True) -> ShardedEnsemble:
+    """Standalone quota prune + global renormalise (see module docstring)."""
+    B = ens.num_particles
+    if B <= max_particles:
+        return ens
+    spec_w, spec_psi = emesh.specs(q_sharded)
+    quota = max(1, max_particles // emesh.P)
+
+    def body(log_w, psi, lost):
+        return _prune_local(log_w, psi, quota, lost, emesh.p_axis)
+
+    mapped = _shard_map(body, mesh=emesh.mesh,
+                        in_specs=(spec_w, spec_psi, P()),
+                        out_specs=(spec_w, spec_psi, P()))
+    log_w, psi, lost = jax.jit(mapped)(
+        ens.log_w, ens.psi, jnp.asarray(ens.lost_mass, jnp.float32))
+    return ShardedEnsemble(log_w, psi, lost)
+
+
+def concat_sharded(weighted, emesh: EnsembleMesh,
+                   q_sharded: bool = True) -> ShardedEnsemble:
+    """Weight-concatenate [(p, ShardedEnsemble)] along the particle axis.
+
+    All operands must share the SAME qubit layout (the sharded engine
+    keeps a canonical identity perm for exactly this reason).  lost_mass
+    combines as the p-weighted mixture bound.
+    """
+    spec_w, spec_psi = emesh.specs(q_sharded)
+    log_w = jnp.concatenate(
+        [q.log_w + float(np.log(p)) for p, q in weighted])
+    psi = jnp.concatenate([q.psi for _, q in weighted])
+    total = sum(p for p, _ in weighted)
+    lost = sum(p * jnp.asarray(q.lost_mass, jnp.float32)
+               for p, q in weighted) / total
+    return ShardedEnsemble(
+        jax.device_put(log_w, NamedSharding(emesh.mesh, spec_w)),
+        jax.device_put(psi, NamedSharding(emesh.mesh, spec_psi)),
+        lost)
+
+
+# ---------------------------------------------------------------------------
+# host-side readout (conformance / small-n)
+# ---------------------------------------------------------------------------
+
+def gather_ensemble(ens: ShardedEnsemble, perm=None):
+    """(weights, complex kets) on the host, dead particles dropped and
+    each state unpermuted to logical qubit order."""
+    from qbot_tpu.tpu.sharded import unpermute_planar
+
+    log_w = np.asarray(ens.log_w)
+    psi = np.asarray(ens.psi)
+    live = log_w > _NEG / 2
+    log_w, psi = log_w[live], psi[live]
+    w = np.exp(log_w - log_w.max())
+    w = w / w.sum()
+    if perm is not None and list(perm) != list(range(len(perm))):
+        psi = np.stack([np.asarray(unpermute_planar(jnp.asarray(p), perm))
+                        for p in psi])
+    return w, psi[:, 0] + 1j * psi[:, 1]
+
+
+def sharded_ensemble_mixture(ens: ShardedEnsemble, perm=None) -> np.ndarray:
+    """Σ w |ψ⟩⟨ψ| as a dense complex density matrix (host; small n)."""
+    w, kets = gather_ensemble(ens, perm)
+    return np.einsum("b,bi,bj->ij", w, kets, np.conj(kets))

@@ -145,6 +145,70 @@ class TestDeviceBranching:
         assert finished[0].qreg.psi is finished[1].qreg.psi
 
 
+class TestShardedDeviceEnsemble:
+    """--compile --ensemble composing with the mesh: ProbVal control flow
+    forks host particles whose registers are (particles × qubits)-sharded
+    ensembles; the merged namespace must match the host ensemble runner
+    (SURVEY §7 decision 2 done-criterion)."""
+
+    @staticmethod
+    def _mesh(p, q):
+        import jax
+
+        from qbot_tpu.tpu.sharding import make_mesh
+        return make_mesh((p, q), devices=jax.devices()[:p * q])
+
+    @pytest.mark.parametrize("p,q", [(2, 4), (4, 2), (8, 1), (1, 2)])
+    def test_branching_mid_measurement_matches_host(self, p, q):
+        src = ("qset tensorExp(comp[0], 4)\n"
+               "gate hadamardGate ; 0\n"
+               "gate pauliXGate ; 3 ; [0]\n"
+               "cjmp alt ; ProbVal([0.5, 0.5], [True, False])\n"
+               "meas m ; computation ; [0]\n"
+               "gate hadamardGate ; 1\n"
+               "halt\n"
+               "mark alt\n"
+               "meas m ; computation ; [3]\n"
+               "disc 0")
+        host = executeTxtEnsemble(src)
+        dev = executeTxtDeviceEnsemble(src, mesh=self._mesh(p, q))
+        assert isinstance(dev["state"], ProbVal) == isinstance(
+            host["state"], ProbVal)
+        np.testing.assert_allclose(dev["m"].probs, host["m"].probs,
+                                   atol=1e-5)
+
+    def test_probval_gate_fanout_on_mesh(self):
+        src = ("qset tensorExp(comp[0], 4)\n"
+               "gate ProbVal([0.5, 0.5], [pauliXGate, hadamardGate]) ; 0\n"
+               "meas m ; computation ; [0]")
+        host = executeTxtEnsemble(src)
+        dev = executeTxtDeviceEnsemble(src, mesh=self._mesh(2, 2))
+        np.testing.assert_allclose(dev["m"].probs, host["m"].probs,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dev["state"], complex),
+                                   np.asarray(host["state"], complex),
+                                   atol=1e-5)
+
+    def test_bell_basis_on_mesh(self):
+        src = ("qset tensorExp(comp[0], 4)\n"
+               "gate hadamardGate ; 0\n"
+               "gate pauliXGate ; 1 ; [0]\n"
+               "meas b ; bell ; [0, 1]")
+        host = executeTxtEnsemble(src)
+        dev = executeTxtDeviceEnsemble(src, mesh=self._mesh(2, 2))
+        np.testing.assert_allclose(dev["b"].probs, host["b"].probs,
+                                   atol=1e-5)
+
+    def test_smc_mode_on_mesh(self):
+        src = ("qset tensorExp(comp[0], 4)\n"
+               "gate hadamardGate ; 0\n"
+               "gate pauliXGate ; 1 ; [0]\n"
+               "meas m ; computation ; [0]")
+        dev = executeTxtDeviceEnsemble(src, mesh=self._mesh(2, 2),
+                                       sample=32, seed=3)
+        np.testing.assert_allclose(dev["m"].probs, [0.5, 0.5], atol=1e-6)
+
+
 class TestLostMassTracking:
     """The device-ensemble runner must report the SAME cumulative
     pruned-mass bound as the lowered-ensemble runner — mass is never
