@@ -157,14 +157,7 @@ class _Engine:
         ensembles with TV error bounds ε_i carries bound Σ p_i ε_i / Σ p_i,
         and any subsequent prune accumulates on top of that.
         """
-        import jax.numpy as jnp
-
-        log_w = jnp.concatenate(
-            [q.log_w + float(np.log(p)) for p, q in weighted])
-        psi = jnp.concatenate([q.psi for _, q in weighted])
-        total = sum(p for p, _ in weighted)
-        lost = sum(p * q.lost_mass for p, q in weighted) / total
-        return self.prune(self.ee.QuantumEnsemble(log_w, psi, lost))
+        return self.ee.concat_weighted(weighted, self.max_particles)
 
     def prune(self, qreg):
         from qbot_tpu.inference.ensemble_exec import QuantumEnsemble, _prune
@@ -551,8 +544,30 @@ def _exec_quantum(engine: _Engine, particle: _DeviceParticle, lines,
         targets = ops._ensure_container(
             lines, line_num, evaluate_expr(lines, line_num, tokens[1], ns))
         if isinstance(targets, ProbVal):
-            raise err.type_error(lines, line_num, ["list<int>"],
-                                 targets.type_string())
+            # ProbVal target sets (/root/reference/qbot/operators.py:
+            # 169-188 via funcWrapper): equal-size branches MIX into one
+            # register on the particle axis (the reference folds the
+            # fan-out to one ρ); differing sizes cannot share a batch, so
+            # they fork HOST particles and merge as a ProbVal state
+            branch_sets = []
+            for p, tv in zip(targets.probs, targets.values):
+                tset = sorted(set(int(q) for q in ops._ensure_container(
+                    lines, line_num, tv)))
+                ops._check_targets_in_range(lines, line_num, tset, n)
+                branch_sets.append((float(p), tset))
+            sizes = {len(t) for _, t in branch_sets}
+            if len(sizes) != 1:
+                # differing widths cannot fold into one register — the
+                # reference's own toDensityMatrix fails on mixed shapes,
+                # and the dense front-end renders the same type error
+                raise err.type_error(lines, line_num,
+                                     ["np.ndarray", "ProbVal<np.ndarray>"],
+                                     "ProbVal<ndarray>")
+            particle.qreg = engine.concat(
+                [(p, engine.discard(particle.qreg, n, tset))
+                 for p, tset in branch_sets])
+            particle.n = n - sizes.pop()
+            return
         targets = sorted(set(int(q) for q in targets))
         ops._check_targets_in_range(lines, line_num, targets, n)
         particle.qreg = engine.discard(particle.qreg, n, targets)
@@ -605,7 +620,10 @@ def _step_device_particle(engine: _Engine, particle: _DeviceParticle,
                                           min_args, max_args)
 
         if op_name in _QUANTUM_OPS:
-            _exec_quantum(engine, particle, lines, line_num, tokens)
+            forked = _exec_quantum(engine, particle, lines, line_num,
+                                   tokens)
+            if forked:
+                return forked            # ProbVal disc fan-out
             continue
 
         if op_name in ("cjmp", "halt", "retr"):

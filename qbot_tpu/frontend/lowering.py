@@ -85,9 +85,15 @@ class DiscSpec:
 
     Later ops in the stream use post-discard qubit numbering (reference
     semantics: /root/reference/qbot/operators.py:169-188).
+
+    ``branches``: for ProbVal target sets (all the SAME size, so the
+    shrunk register width is well-defined on the lowered plan), the
+    (probability, target-set) fan-out — executed as a weighted mixture of
+    per-branch discards.  Empty for plain targets.
     """
     targets: tuple[int, ...]
     at_op: int
+    branches: tuple = ()
 
 
 @dataclass
@@ -304,7 +310,31 @@ def lower_program(text: str, mid_measure: bool = False) -> LoweredProgram:
                 lines, line_num,
                 evaluate_expr(lines, line_num, tokens[1], ns))
             if isinstance(targets, ProbVal):
-                raise _unsupported(lines, line_num, "ProbVal disc targets")
+                # ProbVal target sets fan into weighted particles at
+                # execution — lowerable iff every branch discards the
+                # SAME number of qubits (the shrunk register must have
+                # one width on a compiled plan; differing sizes need the
+                # dense interpreter or the device-ensemble runner)
+                branches = []
+                sizes = set()
+                for p, tv in zip(targets.probs, targets.values):
+                    tset = sorted(set(int(q) for q in ops._ensure_container(
+                        lines, line_num, tv)))
+                    for q in tset:
+                        if q < 0 or q >= cur_n:
+                            raise err.index_error(lines, line_num,
+                                                  "target", q, cur_n - 1)
+                    sizes.add(len(tset))
+                    branches.append((float(p), tuple(tset)))
+                if len(sizes) != 1:
+                    raise _unsupported(
+                        lines, line_num,
+                        "ProbVal disc targets with differing sizes")
+                mid_specs.append(DiscSpec(branches[0][1],
+                                          len(circuit.ops),
+                                          tuple(branches)))
+                cur_n -= sizes.pop()
+                continue
             targets = sorted(set(int(q) for q in targets))
             for q in targets:
                 if q < 0 or q >= cur_n:
@@ -531,7 +561,21 @@ def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
         prev = spec.at_op
         targets = sorted(spec.targets)
         if isinstance(spec, DiscSpec):
-            if sample:
+            if spec.branches and len(spec.branches) > 1:
+                # ProbVal target sets: weighted mixture of per-branch
+                # discards (all the same size by lowering), then one prune
+                if sample:
+                    raise ValueError(
+                        "ProbVal disc targets are not supported in "
+                        "sampling mode - use the exact fan-out (sample=0) "
+                        "or the dense interpreter")
+                from qbot_tpu.inference.ensemble_exec import concat_weighted
+
+                ens = concat_weighted(
+                    [(p, discard_fanout(ens, cur_n, sorted(t),
+                                        max_particles))
+                     for p, t in spec.branches], max_particles)
+            elif sample:
                 key, sub = jax.random.split(key)
                 ens = discard_sample(sub, ens, cur_n, targets)
             else:
@@ -714,7 +758,8 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
                                  max_particles: int = 256,
                                  window: int = 7,
                                  collapse_mode: str = "reference",
-                                 sample: int = 0, seed: int = 0):
+                                 sample: int = 0, seed: int = 0,
+                                 stats: Optional[dict] = None):
     """Mid-circuit measurement + disc on a (particles × qubits) mesh.
 
     The scale path the round-2 verdict demanded: the particle ensemble of
@@ -797,6 +842,21 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
     prev = 0
     results: dict[str, object] = {}
 
+    if stats is not None:
+        stats.setdefault("comm_bytes", 0)        # per-particle, summed
+        stats.setdefault("hbm_bytes", 0)
+        stats.setdefault("num_reshards", 0)
+        stats.setdefault("num_collectives", 0)   # psums at collapse events
+        stats.setdefault("collapse_events", 0)
+
+    def acc(splan, B):
+        """Accumulate exact comm/HBM counts (B live particles ran it)."""
+        if stats is None:
+            return
+        stats["comm_bytes"] += B * splan.comm_bytes()
+        stats["hbm_bytes"] += B * splan.hbm_bytes()
+        stats["num_reshards"] += splan.num_reshards
+
     def run_segment(ens, ops, n, perm):
         if not ops:
             return ens, perm
@@ -804,6 +864,7 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
         seg.ops = list(ops)
         seg.num_params = lp.circuit.num_params
         splan = compile_sharded(seg, k, window=window, initial_perm=perm)
+        acc(splan, ens.num_particles)
         return (apply_sharded_plan_ensemble(ens, splan, emesh),
                 list(splan.final_perm))
 
@@ -812,6 +873,7 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
             return ens
         splan = ShardedPlan(n=n, k=k, items=list(items), final_perm=perm,
                             num_params=lp.circuit.num_params)
+        acc(splan, ens.num_particles)
         return apply_sharded_plan_ensemble(ens, splan, emesh)
 
     def rotation_circuit(basis: Basis, targets, n, inverse=False):
@@ -841,8 +903,55 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
         ens, perm = run_segment(ens, all_ops[prev:spec.at_op], cur_n, perm)
         prev = spec.at_op
         targets = sorted(spec.targets)
+        if stats is not None:
+            stats["collapse_events"] += 1
+            # each collapse: one qubit-axis psum of per-particle outcome
+            # probabilities + one particle-axis psum of the mixture
+            # marginal (K floats each) + weight-normalisation psums
+            stats["num_collectives"] += 3
 
         if isinstance(spec, DiscSpec):
+            if spec.branches and len(spec.branches) > 1:
+                # ProbVal target sets: localize the UNION, run per-branch
+                # sharded discards, canonicalize each branch to the
+                # identity layout, then mix on the particle axis
+                if sample:
+                    raise ValueError(
+                        "ProbVal disc targets are not supported in "
+                        "sampling mode - use the exact fan-out (sample=0) "
+                        "or the dense interpreter")
+                from qbot_tpu.tpu.sharded import plan_perm_to_identity
+                from qbot_tpu.tpu.sharded_ensemble import (
+                    concat_sharded,
+                    prune_sharded,
+                )
+
+                union = sorted({q for _, t in spec.branches for q in t})
+                items, perm = plan_reshards_to_localize(perm, cur_n, k,
+                                                        union)
+                ens = run_items(ens, items, cur_n, perm)
+                pos = [0] * cur_n
+                for p, q in enumerate(perm):
+                    pos[q] = p
+                new_n = cur_n - len(spec.branches[0][1])
+                parts = []
+                for p, tset in spec.branches:
+                    local = sorted(pos[q] - k for q in tset)
+                    e2 = discard_fanout_sharded(ens, cur_n, local, emesh,
+                                                max_particles)
+                    removed = {pos[q] for q in tset}
+                    bperm = [q - sum(1 for r in tset if r < q)
+                             for pp, q in enumerate(perm)
+                             if pp not in removed]
+                    fix, idp = plan_perm_to_identity(bperm, new_n, k)
+                    if fix:
+                        e2 = run_items(e2, fix, new_n, idp)
+                    parts.append((p, e2))
+                ens = prune_sharded(concat_sharded(parts, emesh),
+                                    max_particles, emesh)
+                perm = list(range(new_n))
+                cur_n = new_n
+                continue
             items, perm = plan_reshards_to_localize(perm, cur_n, k, targets)
             ens = run_items(ens, items, cur_n, perm)
             pos = [0] * cur_n

@@ -34,7 +34,7 @@ from qbot_tpu.tpu.compiler import Plan
 __all__ = ["QuantumEnsemble", "init_ensemble", "init_mixed_ensemble",
            "apply_plan_ensemble", "measure_fanout", "measure_sample",
            "discard_fanout", "discard_sample", "peek_probs",
-           "ensemble_mixture", "MAX_PARTICLES"]
+           "concat_weighted", "ensemble_mixture", "MAX_PARTICLES"]
 
 MAX_PARTICLES = 256
 _MIN_P = 1e-12
@@ -331,6 +331,22 @@ def measure_sample(key: jax.Array, ens: QuantumEnsemble, n: int,
     log_w, psi, outcomes = jax.lax.cond(
         ess < ess_threshold * B, do_resample, skip, None)
     return QuantumEnsemble(log_w, psi, ens.lost_mass), dist, outcomes
+
+
+def concat_weighted(weighted, max_particles: int = MAX_PARTICLES
+                    ) -> QuantumEnsemble:
+    """Weight-concatenate [(p, QuantumEnsemble)] into one pruned ensemble.
+
+    ``lost_mass`` combines as the p-weighted mixture bound Σ pᵢεᵢ / Σ pᵢ
+    before the prune accumulates on top.
+    """
+    log_w = jnp.concatenate(
+        [q.log_w + float(np.log(p)) for p, q in weighted])
+    psi = jnp.concatenate([q.psi for _, q in weighted])
+    total = sum(p for p, _ in weighted)
+    lost = sum(p * q.lost_mass for p, q in weighted) / total
+    log_w, psi, lost = _prune(log_w, psi, max_particles, lost)
+    return QuantumEnsemble(log_w, psi, lost)
 
 
 def ensemble_mixture(ens: QuantumEnsemble) -> np.ndarray:

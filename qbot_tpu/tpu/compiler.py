@@ -288,8 +288,67 @@ def decompose_spanning_swap(op: CircuitOp) -> Optional[list[CircuitOp]]:
             CircuitOp("gate", (b,), (a,), X)]
 
 
-def compile_circuit(circ: Circuit, window: int = 7,
-                    pair: bool = True) -> Plan:
+# single-chip cost-model parameters (TPU v5e).  W_MXU entries are
+# EFFECTIVE throughputs (peak × measured ~2/3 utilisation of the window
+# kernels): f32 runs as a 6-pass bf16 decomposition, bf16_3x as 3 passes.
+# Only the HBM/MXU *ratio* matters for ranking window widths.
+_HBM_BW = 819e9
+_MXU_EFF = {"f32": 22e12, "bf16_3x": 44e12, "bf16": 130e12}
+
+
+def plan_cost_model(plan: Plan, dot_mode: str = "f32") -> float:
+    """Modeled seconds per plan execution on one chip.
+
+    Wide windows amortise HBM passes but their fused matmuls are
+    MXU-bound at f32 (D=128 costs ~3× the HBM pass itself); narrow
+    windows are HBM-bound but need more passes.  Each window/pair step
+    costs max(HBM pass, MXU time); diagonals cost one HBM pass;
+    reflections two; flips nothing.
+    """
+    state_bytes = 2 * (2**plan.n) * 4
+    hbm_pass = 2 * state_bytes / _HBM_BW
+    mxu = _MXU_EFF.get(dot_mode, _MXU_EFF["f32"])
+
+    def win_flops(w: WindowStep) -> float:
+        # 4 real matmuls, 2 FLOPs/MAC, D MACs per amplitude component
+        return 4.0 * 2.0 * (2**plan.n) * (2**w.width)
+
+    t = 0.0
+    for s in plan.steps:
+        if isinstance(s, FlipStep):
+            continue
+        if isinstance(s, ReflectStep):
+            t += 2 * hbm_pass
+        elif isinstance(s, PairStep):
+            t += max(hbm_pass,
+                     (win_flops(s.first) + win_flops(s.second)) / mxu)
+        elif isinstance(s, WindowStep):
+            t += max(hbm_pass, win_flops(s) / mxu)
+        else:
+            t += hbm_pass
+    return t
+
+
+def compile_circuit(circ: Circuit, window=7, pair: bool = True) -> Plan:
+    """Compile to a window-fused plan.
+
+    ``window="auto"`` compiles candidate widths 4..7 and keeps the plan
+    the single-chip cost model ranks fastest for the current kernel dot
+    mode — gate-dense circuits pick wide MXU-heavy windows, sparse ones
+    pick narrow HBM-bound windows (round-3: at f32 a D=128 window matmul
+    costs ~3× its own HBM pass, so brickworks run faster at w≈5).
+    """
+    if window == "auto":
+        from qbot_tpu.tpu.kernels import dot_mode
+
+        mode = dot_mode()
+        best = None
+        for w_try in range(4, 8):
+            cand = compile_circuit(circ, w_try, pair)
+            cost = plan_cost_model(cand, mode)
+            if best is None or cost < best[0]:
+                best = (cost, cand)
+        return best[1]
     n = circ.n
     w = min(window, n) if n else 1
     # Hybrid contiguous window partition, chosen for the Pallas kernel

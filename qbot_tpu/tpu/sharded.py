@@ -217,22 +217,29 @@ class ShardedPlan:
 
     @property
     def num_reshards(self) -> int:
-        return sum(isinstance(i, Reshard) for i in self.items)
+        return sum(isinstance(i, (Reshard, BitSwap)) for i in self.items)
 
     def comm_bytes(self, dtype_bytes: int = 4) -> int:
-        """Interconnect traffic per execution: every reshard all_to_all
-        moves (K−1)/K of each device's planar state slice — summed over
-        devices, (K−1)/K of the full state crosses the links per reshard."""
+        """Interconnect traffic per execution: a reshard all_to_all moves
+        (K−1)/K of the full planar state across the links; a BitSwap
+        ppermute moves exactly half of it."""
         K = 2**self.k
         state = 2 * (2**self.n) * dtype_bytes        # planar (re, im)
-        return self.num_reshards * state * (K - 1) // K
+        total = 0
+        for i in self.items:
+            if isinstance(i, Reshard):
+                total += state * (K - 1) // K
+            elif isinstance(i, BitSwap):
+                total += state // 2
+        return total
 
     def hbm_bytes(self, dtype_bytes: int = 4) -> int:
         """Aggregate HBM traffic across shards per execution."""
         state = 2 * (2**self.n) * dtype_bytes
         passes = sum(i.plan.num_passes for i in self.items
                      if isinstance(i, LocalSegment))
-        passes += sum(isinstance(i, (Reshard, ShardedDiag))
+        passes += sum(isinstance(i, (Reshard, ShardedDiag, LocalPerm,
+                                     BitSwap))
                       for i in self.items)
         passes += 2 * sum(isinstance(i, ShardedReflect)
                           for i in self.items)

@@ -108,7 +108,64 @@ def main():
     mean = jnp.mean(out)
     mean_val = float(np.asarray(jax.device_get(mean)))
     assert np.isfinite(mean_val)
-    print(f"OK {psum_val} {mean_val:.6f}", flush=True)
+
+    # --- a sharded circuit whose QUBIT axis spans both hosts -------------
+    # all 4 devices on 'qubits': the all_to_all qubit reshards and the
+    # probability psums cross the process (DCN) boundary
+    from qbot_tpu.tpu.circuit import Circuit
+    from qbot_tpu.tpu.planar import (
+        apply_plan_planar,
+        planar_probs,
+        zero_state_planar as zsp,
+    )
+    from qbot_tpu.tpu.sharded import (
+        compile_sharded,
+        make_sharded_planar_runner,
+        sharded_probs_fn,
+        sharded_zero_state,
+    )
+    from qbot_tpu.tpu.sharding import make_mesh
+
+    gn, k = 6, 2
+    qmesh = make_mesh((1, 4))
+    circ = Circuit(gn)
+    for q in range(gn):
+        circ.h(q)
+    circ.cx(0, 5)                       # crosses the shard boundary
+    circ.cx(2, 3)
+    circ.h(0)
+    splan = compile_sharded(circ, k)
+    runner = make_sharded_planar_runner(splan, qmesh)
+    psi = runner(sharded_zero_state(gn, qmesh))
+    probs = np.asarray(jax.device_get(
+        sharded_probs_fn(splan, qmesh, targets=[0, 5])(psi)))
+    # single-host oracle: the same circuit on the local planar executor
+    want = np.asarray(planar_probs(
+        apply_plan_planar(zsp(gn), compile_circuit(circ)), [0, 5], gn))
+    assert np.allclose(probs, want, atol=1e-5), (probs, want)
+
+    # --- checkpoint round-trip across processes --------------------------
+    ckpt_ok = 1
+    if len(sys.argv) > 4 and sys.argv[4]:
+        from qbot_tpu.utils.checkpoint import make_checkpoint_manager
+
+        mgr = make_checkpoint_manager(sys.argv[4], max_to_keep=1)
+        mgr.save(1, {"psi": psi}, {"qubits": gn})
+        if hasattr(mgr, "wait"):
+            mgr.wait()
+        arrays, meta = mgr.restore(1)
+        assert int(meta["qubits"]) == gn
+        restored = arrays["psi"]
+        if isinstance(restored, np.ndarray):        # npz fallback path
+            restored = jax.device_put(
+                jnp.asarray(restored),
+                NamedSharding(qmesh, P(None, "qubits")))
+        probs2 = np.asarray(jax.device_get(
+            sharded_probs_fn(splan, qmesh, targets=[0, 5])(restored)))
+        ckpt_ok = int(np.allclose(probs2, want, atol=1e-5))
+
+    print(f"OK {psum_val} {mean_val:.6f} {probs[0]:.6f} {ckpt_ok}",
+          flush=True)
 
 
 if __name__ == "__main__":

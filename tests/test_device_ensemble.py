@@ -145,6 +145,83 @@ class TestDeviceBranching:
         assert finished[0].qreg.psi is finished[1].qreg.psi
 
 
+class TestProbValDiscTargets:
+    """ProbVal target sets on ``disc`` across the device paths (round-2
+    item 8): host-forked particles on the device-ensemble runner, and
+    weighted per-branch mixtures on the lowered executors — all
+    differential against the dense/host runners."""
+
+    SAME_SIZE = ("qset tensorExp(comp[0], 3)\n"
+                 "gate hadamardGate ; 0\n"
+                 "gate pauliXGate ; 2 ; [0]\n"
+                 "disc ProbVal([0.25, 0.75], [[0], [2]])\n"
+                 "meas m ; computation")
+
+    def test_device_ensemble_same_size(self):
+        host, dev = _both(self.SAME_SIZE)
+        np.testing.assert_allclose(dev["m"].probs, host["m"].probs,
+                                   atol=1e-5)
+        _assert_state_close(host, dev)
+
+    def test_device_ensemble_differing_sizes_errors_like_host(self):
+        import qbot_tpu.errors as err
+
+        src = ("qset tensorExp(comp[0], 3)\n"
+               "gate hadamardGate ; 0\n"
+               "disc ProbVal([0.5, 0.5], [[0], [0, 1]])")
+        # differing widths cannot fold into one register: the reference's
+        # own toDensityMatrix fails on mixed shapes — both runners render
+        # the same script-level type error
+        with pytest.raises(err.QbotScriptError):
+            executeTxtEnsemble(src)
+        with pytest.raises(err.QbotScriptError):
+            executeTxtDeviceEnsemble(src)
+
+    def test_lowered_ensemble_same_size(self):
+        from qbot_tpu.frontend.interpreter import executeTxt
+        from qbot_tpu.frontend.lowering import (
+            lower_program,
+            run_lowered_ensemble,
+        )
+
+        ns = executeTxt(self.SAME_SIZE)
+        lp = lower_program(self.SAME_SIZE, mid_measure=True)
+        results, ens = run_lowered_ensemble(lp)
+        np.testing.assert_allclose(results["m"].probs, ns["m"].probs,
+                                   atol=1e-6)
+
+    def test_lowered_rejects_differing_sizes(self):
+        from qbot_tpu.frontend.lowering import LoweringError, lower_program
+
+        src = ("qset tensorExp(comp[0], 3)\n"
+               "disc ProbVal([0.5, 0.5], [[0], [0, 1]])")
+        with pytest.raises(LoweringError, match="differing sizes"):
+            lower_program(src, mid_measure=True)
+
+    def test_sharded_ensemble_same_size(self):
+        import jax
+
+        from qbot_tpu.frontend.interpreter import executeTxt
+        from qbot_tpu.frontend.lowering import (
+            lower_program,
+            run_lowered_sharded_ensemble,
+        )
+        from qbot_tpu.tpu.sharding import make_mesh
+
+        src = ("qset tensorExp(comp[0], 5)\n"
+               "gate hadamardGate ; 0\n"
+               "gate pauliXGate ; 4 ; [0]\n"
+               "disc ProbVal([0.25, 0.75], [[0], [4]])\n"
+               "meas m ; computation")
+        ns = executeTxt(src)
+        lp = lower_program(src, mid_measure=True)
+        mesh = make_mesh((2, 2), devices=jax.devices()[:4])
+        results, ens, perm, emesh = run_lowered_sharded_ensemble(
+            lp, mesh=mesh)
+        np.testing.assert_allclose(results["m"].probs, ns["m"].probs,
+                                   atol=1e-5)
+
+
 class TestShardedDeviceEnsemble:
     """--compile --ensemble composing with the mesh: ProbVal control flow
     forks host particles whose registers are (particles × qubits)-sharded

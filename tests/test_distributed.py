@@ -23,16 +23,17 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_cluster_psum_and_hmc_step():
+def test_two_process_cluster_psum_and_hmc_step(tmp_path):
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
     env = dict(os.environ)
     # the workers pin their own platform/device-count; scrub inherited flags
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
+    ckpt = str(tmp_path / "ckpt")
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, coordinator, "2", str(i)],
+            [sys.executable, _WORKER, coordinator, "2", str(i), ckpt],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env)
         for i in range(2)
@@ -53,12 +54,15 @@ def test_two_process_cluster_psum_and_hmc_step():
         lines = [l for l in out.splitlines() if l.startswith("OK ")]
         assert lines, f"no OK line in worker output:\n{out}\n{err[-2000:]}"
         finals.append(lines[-1])
-    # both processes must agree on the global psum (=4 devices) and on the
-    # globally-reduced HMC result
+    # both processes must agree on the global psum (=4 devices), the
+    # globally-reduced HMC result, the cross-host sharded-circuit
+    # marginal, and the checkpoint round-trip
     vals = [f.split() for f in finals]
     assert float(vals[0][1]) == 4.0
     assert float(vals[1][1]) == 4.0
     assert vals[0][2] == vals[1][2]
+    assert vals[0][3] == vals[1][3]      # sharded circuit probs agree
+    assert vals[0][4] == "1" and vals[1][4] == "1"   # checkpoint OK
 
 
 def test_host_local_batch_rejects_indivisible():

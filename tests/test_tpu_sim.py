@@ -229,3 +229,41 @@ class TestReadout:
         psi = apply_plan(zero_state(2), compile_circuit(c))
         assert np.asarray(expectation_z(psi, 0, n=2)) == pytest.approx(1.0)
         assert np.asarray(expectation_z(psi, 1, n=2)) == pytest.approx(-1.0)
+
+
+class TestAutoWindow:
+    def test_auto_picks_modeled_best_and_matches(self):
+        import jax.numpy as jnp
+
+        from qbot_tpu.tpu.compiler import compile_circuit, plan_cost_model
+        from qbot_tpu.tpu.planar import (
+            apply_plan_planar,
+            planar_probs,
+            zero_state_planar,
+        )
+        from qbot_tpu.tpu.circuit import Circuit
+
+        rng = np.random.default_rng(7)
+        n = 9
+        c = Circuit(n)
+        X = np.array([[0, 1], [1, 0]], dtype=complex)
+        for layer in range(2):
+            for q in range(n):
+                z = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+                qm, r = np.linalg.qr(z)
+                c.gate(qm * np.conj(r.diagonal() / np.abs(r.diagonal())),
+                       [q])
+            for q in range(layer % 2, n - 1, 2):
+                c.gate(X, [q + 1], controls=[q])
+
+        auto = compile_circuit(c, window="auto")
+        costs = {w: plan_cost_model(compile_circuit(c, w))
+                 for w in range(4, 8)}
+        assert np.isclose(plan_cost_model(auto), min(costs.values()))
+        # numerics identical to the fixed-window plan
+        psi_a = apply_plan_planar(zero_state_planar(n), auto)
+        psi_7 = apply_plan_planar(zero_state_planar(n),
+                                  compile_circuit(c, 7))
+        np.testing.assert_allclose(
+            np.asarray(planar_probs(psi_a, None, n)),
+            np.asarray(planar_probs(psi_7, None, n)), atol=1e-5)
