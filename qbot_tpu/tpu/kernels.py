@@ -70,6 +70,14 @@ __all__ = ["planar_window_apply", "planar_pair_window_apply",
 
 _MODE = "auto"          # "auto" | "on" | "off" | "interpret"
 
+# Tile-geometry knobs (module-level so perf probes can sweep them).
+# Grid-step fixed overhead on the axon v5e measured ~10µs; larger tiles
+# amortise it at the cost of VMEM and (sometimes pathological) Mosaic
+# compile time — values here are the measured sweet spots.
+_PAIR_BA = 8            # _pair_b1 rows per tile
+_LEFT_BLOCK_LARGE = 2048   # _left_multiply lanes when D > 32
+_LEFT_BLOCK_SMALL = 512    # _left_multiply lanes when D <= 32
+
 
 def set_kernel_mode(mode: str) -> None:
     """auto = Pallas on TPU backends, XLA elsewhere; interpret for tests."""
@@ -338,7 +346,7 @@ def _pair_b1_body(w1_ref, w2t_ref, p_ref, o_ref, *, flips, phases, D1, D2,
 def _pair_b1(w1, w2t, p, flips=(), phases=()):
     """w1: (2, D1, D1); w2t: (2, D2, D2) pre-transposed; p: (2, A, D1, D2)."""
     _, A, D1, D2 = p.shape
-    BA = min(A, 8)
+    BA = min(A, _PAIR_BA)
     kernel = functools.partial(_pair_b1_body, flips=flips, phases=phases,
                                D1=D1, D2=D2, BA=BA)
     return pl.pallas_call(
@@ -646,7 +654,7 @@ def _pair_apply_impl(psi, n: int, s1: int, w1: int, s2: int, w2: int,
         if B == 1:
             w2ts = jnp.stack([W2r.T, W2i.T])
             p = psi.reshape(2, A, D1, D2)
-            BA = min(A, 8)
+            BA = min(A, _PAIR_BA)
             lba = BA.bit_length() - 1
             flips = tuple(((m >> (w1 + w2)) // BA, (m >> (w1 + w2)) % BA,
                            (m >> w2) & (D1 - 1), m & (D2 - 1))
@@ -738,7 +746,8 @@ def _window_apply_impl(n: int, start: int, width: int, pre_flips,
             p = psi.reshape(2, a, D, B)
             # D=32 tiles with 2048 lanes made Mosaic compile for ~460 s on
             # the axon backend; 512 lanes compile in ~1 s (diag_probe2.py)
-            block_b = min(B, 512 if D <= 32 else 2048)
+            block_b = min(B, _LEFT_BLOCK_SMALL if D <= 32
+                          else _LEFT_BLOCK_LARGE)
             lb = B.bit_length() - 1
             lbb = block_b.bit_length() - 1
             flips = tuple(

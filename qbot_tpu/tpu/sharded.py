@@ -43,9 +43,13 @@ except ImportError:                      # pragma: no cover - older jax
 
 __all__ = ["ShardedPlan", "compile_sharded", "make_sharded_planar_runner",
            "sharded_zero_state", "sharded_probs_fn", "unpermute_planar",
-           "ShardedReflect", "density_circuit", "compile_sharded_density",
+           "ShardedReflect", "LocalPerm", "BitSwap",
+           "plan_reshards_to_localize", "plan_perm_to_identity",
+           "apply_bitswap_local",
+           "density_circuit", "compile_sharded_density",
            "shard_density", "sharded_zero_density",
-           "sharded_density_probs_fn", "unpermute_density"]
+           "sharded_density_probs_fn", "sharded_density_discard",
+           "unpermute_density"]
 
 
 @dataclass(frozen=True)
@@ -793,6 +797,68 @@ def unpermute_density(rho_flat, perm) -> jnp.ndarray:
     n = len(perm) // 2
     flat = unpermute_planar(rho_flat, perm)
     return flat.reshape(2, 2**n, 2**n)
+
+
+def sharded_density_discard(rho_flat, n: int, k: int, targets,
+                            mesh: Mesh, perm=None,
+                            axis_name: str = "qubits"):
+    """``disc`` on a sharded density matrix: Tr over ``targets`` producing
+    the REDUCED sharded ρ (register shrinks) — the density-mode sharded
+    partial trace (reference semantics /root/reference/qbot/density.py:
+    122-148 at sizes one chip cannot hold).
+
+    ``rho_flat``: flat planar (2, 4^n) register-doubled ρ in the layout
+    ``perm`` (a density plan's ``final_perm`` over 2n axes; identity if
+    None).  Each discarded qubit q contracts its row axis q with its
+    column axis n+q: both are first localized (one all_to_all covers all
+    of them), then the per-shard diagonal sum drops two axes per qubit.
+    Returns (reduced_flat_rho, new_perm) with new_perm over 2(n−t) axes
+    in the reduced register's logical numbering.
+    """
+    targets = sorted(set(int(q) for q in targets))
+    t = len(targets)
+    n2 = 2 * n
+    perm = list(range(n2)) if perm is None else list(perm)
+    pair_axes = [q for q in targets] + [n + q for q in targets]
+    items, perm = plan_reshards_to_localize(perm, n2, k, pair_axes)
+    if items:
+        splan = ShardedPlan(n=n2, k=k, items=items, final_perm=perm)
+        run = make_sharded_planar_runner(splan, mesh, axis_name)
+        rho_flat = run(rho_flat)
+    pos = [0] * n2
+    for p, q in enumerate(perm):
+        pos[q] = p
+    n_local = n2 - k
+
+    def body(flat):
+        tt = flat.reshape((2,) + (2,) * n_local)
+        tags = list(range(k, n2))        # physical position per tensor axis
+        for q in targets:
+            ar = tags.index(pos[q])
+            ac = tags.index(pos[n + q])
+            tt = jnp.trace(tt, axis1=1 + ar, axis2=1 + ac)
+            del tags[max(ar, ac)], tags[min(ar, ac)]
+        return tt.reshape(2, -1)
+
+    mapped = _shard_map(body, mesh=mesh,
+                        in_specs=(P(None, axis_name),),
+                        out_specs=P(None, axis_name))
+    reduced = jax.jit(mapped)(rho_flat)
+
+    # the reduced register renumbers: logical row q → q' = q − #targets<q,
+    # column n+q → (n−t)+q'; physical axes = sharded positions then the
+    # surviving local axes in order
+    removed_phys = {pos[q] for q in targets} | {pos[n + q] for q in targets}
+
+    def relabel(q):
+        if q < n:                        # row axis
+            return q - sum(1 for r in targets if r < q)
+        qq = q - n
+        return (n - t) + qq - sum(1 for r in targets if r < qq)
+
+    new_perm = [relabel(q) for p, q in enumerate(perm)
+                if p not in removed_phys]
+    return reduced, new_perm
 
 
 def sharded_density_probs_fn(splan: ShardedPlan, mesh: Mesh,

@@ -200,3 +200,67 @@ class TestShardedDensityProbs:
         want = np.asarray(planar_density_probs(
             jnp.asarray(_planar_rho(want_rho)), targets=[0, 4], n=n))
         np.testing.assert_allclose(probs, want, atol=1e-4)
+
+
+class TestShardedDensityDiscard:
+    """Sharded partial trace: disc on a register-doubled sharded rho
+    producing the REDUCED sharded rho (round-2 missing item 3)."""
+
+    @pytest.mark.parametrize("k", [1, 2])
+    @pytest.mark.parametrize("targets", [[0], [2], [0, 3], [1, 2]])
+    def test_matches_dense_partial_trace(self, k, targets):
+        from qbot_tpu.tpu.sharded import sharded_density_discard
+
+        n = 4
+        mesh = _mesh(2**k)
+        circ = Circuit(n)
+        H = np.array([[1, 1], [1, -1]], dtype=complex) / np.sqrt(2)
+        X = np.array([[0, 1], [1, 0]], dtype=complex)
+        circ.gate(H, [0])
+        circ.gate(X, [3], controls=[0])
+        circ.gate(H, [1])
+        rho0 = _mixed_rho(n)
+        dense = _oracle_rho(circ, rho0)
+        want = np.asarray(core.partial_trace_keep(
+            dense, [q for q in range(n) if q not in targets]))
+
+        splan = compile_sharded_density(circ, k)
+        run = make_sharded_planar_runner(splan, mesh)
+        out = run(shard_density(_planar_rho(rho0), mesh))
+        reduced, new_perm = sharded_density_discard(
+            out, n, k, targets, mesh, perm=splan.final_perm)
+        got = np.asarray(unpermute_density(np.asarray(reduced), new_perm))
+        got = got[0] + 1j * got[1]
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_reduced_rho_keeps_running(self):
+        """The reduced sharded rho stays executable: compile a follow-up
+        circuit on the shrunk register with the returned perm."""
+        from qbot_tpu.tpu.sharded import sharded_density_discard
+
+        n, k = 4, 1
+        mesh = _mesh(2**k)
+        H = np.array([[1, 1], [1, -1]], dtype=complex) / np.sqrt(2)
+        circ = Circuit(n)
+        circ.gate(H, [0])
+        rho0 = _mixed_rho(n)
+        splan = compile_sharded_density(circ, k)
+        out = make_sharded_planar_runner(splan, mesh)(
+            shard_density(_planar_rho(rho0), mesh))
+        reduced, new_perm = sharded_density_discard(
+            out, n, k, [1], mesh, perm=splan.final_perm)
+
+        post = Circuit(n - 1)
+        post.gate(H, [0])
+        from qbot_tpu.tpu.sharded import compile_sharded
+        splan2 = compile_sharded(density_circuit(post), k,
+                                 initial_perm=new_perm)
+        out2 = make_sharded_planar_runner(splan2, mesh)(reduced)
+        got = np.asarray(unpermute_density(np.asarray(out2),
+                                           splan2.final_perm))
+        got = got[0] + 1j * got[1]
+
+        dense = _oracle_rho(circ, rho0)
+        red = np.asarray(core.partial_trace_keep(dense, [0, 2, 3]))
+        want = _oracle_rho(post, red)
+        np.testing.assert_allclose(got, want, atol=1e-5)
