@@ -164,8 +164,31 @@ def main():
             sharded_probs_fn(splan, qmesh, targets=[0, 5])(restored)))
         ckpt_ok = int(np.allclose(probs2, want, atol=1e-5))
 
-    print(f"OK {psum_val} {mean_val:.6f} {probs[0]:.6f} {ckpt_ok}",
-          flush=True)
+    # --- mesh-sharded particle ensemble ACROSS hosts ---------------------
+    # branch/outcome particles ride the cross-host (DCN) particle axis
+    # while each register shards over the intra-host qubit axis — the
+    # full SURVEY §7 decision-2 composition at multi-host scale
+    from qbot_tpu.frontend.lowering import (
+        lower_program,
+        run_lowered_sharded_ensemble,
+    )
+
+    src = ("qset tensorExp(computation.kets[0], 4)\n"
+           "gate hadamardGate ; 0\n"
+           "gate pauliXGate ; 3 ; [0]\n"
+           "meas m ; computation ; [0]\n"
+           "disc [3]\n"
+           "meas w ; computation ; [0, 1]")
+    lp = lower_program(src, mid_measure=True)
+    res2, ens2, perm2, _ = run_lowered_sharded_ensemble(
+        lp, mesh=mesh, max_particles=64, collapse_mode="projective")
+    assert abs(sum(res2["m"].probs) - 1.0) < 1e-4
+    assert abs(res2["m"].probs[0] - 0.5) < 1e-4       # Bell-pair marginal
+    assert ens2.psi.shape[-1] == 2**3                 # register shrank
+    ens_m0 = float(res2["w"].probs[0])
+
+    print(f"OK {psum_val} {mean_val:.6f} {probs[0]:.6f} {ckpt_ok} "
+          f"{ens_m0:.6f}", flush=True)
 
 
 if __name__ == "__main__":

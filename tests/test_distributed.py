@@ -63,6 +63,8 @@ def test_two_process_cluster_psum_and_hmc_step(tmp_path):
     assert vals[0][2] == vals[1][2]
     assert vals[0][3] == vals[1][3]      # sharded circuit probs agree
     assert vals[0][4] == "1" and vals[1][4] == "1"   # checkpoint OK
+    # the cross-host sharded particle ensemble agrees between processes
+    assert vals[0][5] == vals[1][5]
 
 
 def test_host_local_batch_rejects_indivisible():
