@@ -1,0 +1,165 @@
+"""Dot-engine executor (tpu/dotplan.py) vs the planar executor.
+
+The dot engine applies each window as ONE realified XLA dot and tracks
+the axis permutation across passes instead of restoring canonical order
+(the fused output transpose costs ~45% of a pass, measured on v5e —
+benchmarks/diag_xladot.py).  These tests pin its semantics to the
+existing planar executor on every step kind it lowers.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qbot_tpu.tpu import kernels
+from qbot_tpu.tpu.circuit import (
+    Circuit,
+    grover_circuit,
+    parameterized_layers,
+    random_circuit,
+)
+from qbot_tpu.tpu.compiler import compile_circuit
+from qbot_tpu.tpu.dotplan import apply_plan_dot, lower_dot_plan
+from qbot_tpu.tpu.planar import apply_plan_planar, to_planar
+
+F32TOL = 5e-6
+
+
+def _rand_state(n, seed=0):
+    rng = np.random.default_rng(seed)
+    z = rng.normal(size=2**n) + 1j * rng.normal(size=2**n)
+    z /= np.linalg.norm(z)
+    return jnp.asarray(to_planar(z))
+
+
+def _brickwork(n, layers, seed=0):
+    rng = np.random.default_rng(seed)
+    c = Circuit(n)
+    X = np.array([[0, 1], [1, 0]], dtype=complex)
+    for layer in range(layers):
+        for q in range(n):
+            z = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+            qm, r = np.linalg.qr(z)
+            c.gate(qm * np.conj(r.diagonal() / np.abs(r.diagonal())), [q])
+        for q in range(layer % 2, n - 1, 2):
+            c.gate(X, [q + 1], controls=[q])
+    return c
+
+
+def _compare(circ, w, seed=1, params=None):
+    kernels.set_kernel_mode("off")
+    try:
+        plan = compile_circuit(circ, window=w)
+        lowered = lower_dot_plan(plan)
+        assert lowered is not None, "dot lowering bailed"
+        assert lowered.final_perm == lowered.entry_perm
+        psi0 = _rand_state(circ.n, seed)
+        ref = apply_plan_planar(psi0, plan, params)
+        out = apply_plan_dot(psi0, lowered, params)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=F32TOL)
+    finally:
+        kernels.set_kernel_mode("auto")
+
+
+class TestDifferential:
+    @pytest.mark.parametrize("w", [3, 4, 5])
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_brickwork(self, w, seed):
+        _compare(_brickwork(8, 3, seed), w, seed)
+
+    @pytest.mark.parametrize("w", [3, 5])
+    def test_random_circuit(self, w):
+        _compare(random_circuit(7, 3, seed=4), w)
+
+    def test_parameterized(self):
+        circ = parameterized_layers(6, 2)
+        rng = np.random.default_rng(3)
+        params = jnp.asarray(
+            rng.uniform(0, 2 * np.pi, circ.num_params).astype(np.float32))
+        _compare(circ, 4, params=params)
+
+    def test_standalone_diagonal(self):
+        c = Circuit(6)
+        for q in range(6):
+            c.h(q)
+        rng = np.random.default_rng(9)
+        d = np.exp(1j * rng.uniform(0, 2 * np.pi, 8))
+        c.diagonal(d, [1, 3, 5])         # non-contiguous targets
+        for q in range(6):
+            c.h(q)
+        _compare(c, 3)
+
+    def test_grover_reflections(self):
+        circ = grover_circuit(6, marked=11, iterations=3)
+        plan = compile_circuit(circ, window=3)
+        lowered = lower_dot_plan(plan)
+        if lowered is None:             # pure-reflect plans may not carry
+            pytest.skip("no window step to close the cycle on")
+        _compare(circ, 3)
+
+    def test_spanning_gate_contract(self):
+        c = _brickwork(7, 2, seed=5)
+        rng = np.random.default_rng(6)
+        z = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+        qm, r = np.linalg.qr(z)
+        c.gate(qm * np.conj(r.diagonal() / np.abs(r.diagonal())),
+               [0, 6])                   # spans every window partition
+        c2 = _brickwork(7, 1, seed=7)
+        for op in c2.ops:
+            c.ops.append(op)
+        _compare(c, 3)
+
+
+class TestCycle:
+    def test_scanned_body_matches_sequential(self):
+        kernels.set_kernel_mode("off")
+        try:
+            circ = _brickwork(7, 2, seed=8)
+            plan = compile_circuit(circ, window=4)
+            lowered = lower_dot_plan(plan)
+            psi0 = _rand_state(7, 4)
+
+            @jax.jit
+            def scanned(p):
+                def body(c, _):
+                    return apply_plan_dot(c, lowered), None
+                out, _ = jax.lax.scan(body, p, None, length=3)
+                return out
+
+            ref = psi0
+            for _ in range(3):
+                ref = apply_plan_planar(ref, plan)
+            np.testing.assert_allclose(np.asarray(scanned(psi0)),
+                                       np.asarray(ref), atol=2e-5)
+        finally:
+            kernels.set_kernel_mode("auto")
+
+
+class TestGradients:
+    def test_grad_matches_planar(self):
+        kernels.set_kernel_mode("off")
+        try:
+            circ = parameterized_layers(5, 2)
+            plan = compile_circuit(circ, window=3)
+            lowered = lower_dot_plan(plan)
+            psi0 = _rand_state(5, 5)
+            target = _rand_state(5, 6)
+
+            def loss_dot(theta):
+                out = apply_plan_dot(psi0, lowered, theta)
+                return jnp.sum((out - target) ** 2)
+
+            def loss_planar(theta):
+                out = apply_plan_planar(psi0, plan, theta)
+                return jnp.sum((out - target) ** 2)
+
+            theta = jnp.asarray(np.linspace(0.1, 1.0, circ.num_params),
+                                dtype=jnp.float32)
+            g1 = jax.grad(loss_dot)(theta)
+            g2 = jax.grad(loss_planar)(theta)
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                       atol=1e-4)
+        finally:
+            kernels.set_kernel_mode("auto")
