@@ -160,6 +160,10 @@ class Plan:
     steps: list[Step] = field(default_factory=list)
     num_params: int = 0
     gate_count: int = 0               # logical gates represented
+    # executor the auto-compiler ranked fastest for this plan:
+    # "pallas" = window/pair kernels, "dot" = axis-scheduled XLA dots
+    # (tpu/dotplan.py).  Runners honour it; explicit engine args override.
+    engine: str = "pallas"
 
     @property
     def num_passes(self) -> int:
@@ -288,25 +292,68 @@ def decompose_spanning_swap(op: CircuitOp) -> Optional[list[CircuitOp]]:
             CircuitOp("gate", (b,), (a,), X)]
 
 
-# single-chip cost-model parameters (TPU v5e).  W_MXU entries are
-# EFFECTIVE throughputs (peak × measured ~2/3 utilisation of the window
-# kernels): f32 runs as a 6-pass bf16 decomposition, bf16_3x as 3 passes.
-# Only the HBM/MXU *ratio* matters for ranking window widths.
-_HBM_BW = 819e9
+# single-chip cost-model parameters, CALIBRATED TO MEASUREMENT on the
+# v5e (benchmarks/diag_pairperf.py / diag_pallasbw.py, 26 qubits) — not
+# datasheet figures.  The Pallas DMA pipeline sustains ~210 GB/s for
+# window-shaped tiles (a pure-copy kernel measures the same, so it is a
+# pipeline property, not compute), and kernel DMA/MXU phases barely
+# overlap: per-step cost = hbm_pass + matmul time reproduces the
+# measured 8.3 ms strided pair pass.  MXU entries are effective
+# throughputs: f32 runs as a 6-pass bf16 decomposition, bf16_3x as 3.
+_PALLAS_BW = 210e9
 _MXU_EFF = {"f32": 22e12, "bf16_3x": 44e12, "bf16": 130e12}
+
+# dot-engine parameters: an ISOLATED XLA dot_general in native output
+# order sustains ~316 GB/s state traffic (benchmarks/diag_xladot2.py) —
+# the measured ceiling for ANY formulation on this stack — but full
+# plans measure ~5.6 ms/pass at 26q (192 GB/s effective; inter-pass
+# relayout copies eat the difference, benchmarks/diag_dotbench.py), so
+# the plan-level model uses the end-to-end figure.
+_XLA_BW = 316e9
+_DOT_PASS_BW = 192e9
+_DOT_MXU = {"f32": 33e12, "bf16_3x": 60e12, "bf16": 180e12}
+
+
+def dot_cost_model(plan: Plan, dot_mode: str = "f32") -> float:
+    """Modeled seconds per plan execution on the dot engine.
+
+    Pairs count as two passes (the engine applies windows singly); each
+    window costs max(state read+write at the dot pipeline, realified
+    matmul MXU time); diagonals are one elementwise pass; reflections
+    two.
+    """
+    state_bytes = 2 * (2**plan.n) * 4
+    hbm_pass = 2 * state_bytes / _DOT_PASS_BW
+    mxu = _DOT_MXU.get(dot_mode, _DOT_MXU["f32"])
+
+    def win_cost(w) -> float:
+        flops = 4.0 * 2.0 * (2**plan.n) * (2**w.width)
+        return max(hbm_pass, flops / mxu)
+
+    t = 0.0
+    for s in expand_pairs(plan.steps):
+        if isinstance(s, FlipStep):
+            continue
+        if isinstance(s, ReflectStep):
+            t += 2 * hbm_pass
+        elif isinstance(s, WindowStep):
+            t += win_cost(s)
+        else:
+            t += hbm_pass
+    return t
 
 
 def plan_cost_model(plan: Plan, dot_mode: str = "f32") -> float:
-    """Modeled seconds per plan execution on one chip.
+    """Modeled seconds per plan execution on the Pallas engine.
 
-    Wide windows amortise HBM passes but their fused matmuls are
-    MXU-bound at f32 (D=128 costs ~3× the HBM pass itself); narrow
-    windows are HBM-bound but need more passes.  Each window/pair step
-    costs max(HBM pass, MXU time); diagonals cost one HBM pass;
-    reflections two; flips nothing.
+    Wide windows amortise HBM passes but pay more MXU time; Pallas
+    DMA/compute phases barely overlap (measured), so each window/pair
+    step costs its DMA pass PLUS its matmul time.  Diagonals cost one
+    XLA elementwise pass; reflections two; flips nothing.
     """
     state_bytes = 2 * (2**plan.n) * 4
-    hbm_pass = 2 * state_bytes / _HBM_BW
+    hbm_pass = 2 * state_bytes / _PALLAS_BW
+    xla_pass = 2 * state_bytes / _XLA_BW
     mxu = _MXU_EFF.get(dot_mode, _MXU_EFF["f32"])
 
     def win_flops(w: WindowStep) -> float:
@@ -318,14 +365,14 @@ def plan_cost_model(plan: Plan, dot_mode: str = "f32") -> float:
         if isinstance(s, FlipStep):
             continue
         if isinstance(s, ReflectStep):
-            t += 2 * hbm_pass
+            t += 2 * xla_pass
         elif isinstance(s, PairStep):
-            t += max(hbm_pass,
-                     (win_flops(s.first) + win_flops(s.second)) / mxu)
+            t += (hbm_pass
+                  + (win_flops(s.first) + win_flops(s.second)) / mxu)
         elif isinstance(s, WindowStep):
-            t += max(hbm_pass, win_flops(s) / mxu)
+            t += hbm_pass + win_flops(s) / mxu
         else:
-            t += hbm_pass
+            t += xla_pass
     return t
 
 
@@ -339,16 +386,30 @@ def compile_circuit(circ: Circuit, window=7, pair: bool = True) -> Plan:
     costs ~3× its own HBM pass, so brickworks run faster at w≈5).
     """
     if window == "auto":
-        from qbot_tpu.tpu.kernels import dot_mode
+        from qbot_tpu.tpu.kernels import _use_pallas, dot_mode
 
         mode = dot_mode()
+        # With Pallas available the pair-fused kernels win every measured
+        # 26q config (BENCH/diag_dotbench), so rank widths on the Pallas
+        # model.  Without Pallas (kernel mode "off" / non-TPU backend)
+        # the dot engine beats the 4-matmul XLA fallback ~1.5x — prefer
+        # it when the plan lowers.
+        engines = (("pallas", plan_cost_model) if _use_pallas()
+                   else ("dot", dot_cost_model))
+        eng, model = engines
         best = None
         for w_try in range(4, 8):
             cand = compile_circuit(circ, w_try, pair)
-            cost = plan_cost_model(cand, mode)
+            cost = model(cand, mode)
             if best is None or cost < best[0]:
                 best = (cost, cand)
-        return best[1]
+        plan = best[1]
+        if eng == "dot":
+            from qbot_tpu.tpu.dotplan import lower_dot_plan
+
+            if lower_dot_plan(plan) is not None:
+                plan.engine = "dot"
+        return plan
     n = circ.n
     w = min(window, n) if n else 1
     # Hybrid contiguous window partition, chosen for the Pallas kernel

@@ -1,9 +1,9 @@
 """Axis-scheduled XLA dot executor for planar statevectors.
 
 Measured motivation (axon TPU v5e, 26 qubits, benchmarks/diag_pairperf.py
-+ diag_xladot.py): the Pallas DMA pipeline tops out near ~210 GB/s for
++ diag_xladot*.py): the Pallas DMA pipeline tops out near ~210 GB/s for
 window-shaped tiles no matter the tile geometry, while a single XLA
-``dot_general`` moves ~305 GB/s when its output is left in dot-native
+``dot_general`` moves ~316 GB/s when its output is left in dot-native
 order — and the *whole* planar complex window product fits in ONE dot via
 realified algebra:
 
@@ -13,23 +13,33 @@ with ``M = [[Wr, -Wi], [Wi, Wr]]`` laid out as (2, D, 2, D).  One dot =
 one read + one write of the state (the 4-matmul planar form reads each
 component twice and writes intermediates).
 
-The catch: the dot's native output order puts the contracted window's
-axes FIRST — ``(x, i, a, b)`` — and forcing the canonical order back costs
-a fused output transpose (~+45% per pass, measured).  So this executor
-never forces it: it tracks the axis permutation across steps and
-contracts each window from wherever its axes currently live.  Windows are
-qubit-contiguous blocks, and blocks move as units, so every window's axes
-stay contiguous and in-order under the evolving permutation (removing a
-contiguous block from anywhere in an ordered list keeps the rest ordered).
-Only the LAST step of a plan pays a restore (needed so ``lax.scan`` can
-carry a fixed layout), folded into its einsum output spec.
+Two hazards shape the design:
 
-Diagonals (fused pre-flips, controlled phases, DiagSteps) are elementwise
-and permutation-aware: indices and target positions are remapped at lower
-time; XLA fuses them into neighbouring passes.
+* **Output order.** The dot's native output puts the contracted window
+  first — ``(x, i, a, b)`` — and forcing canonical order back costs a
+  fused output transpose (~+45%/pass, measured).  So the executor tracks
+  the axis permutation across steps instead; only the last window of a
+  plan body pays a restore (fused into its einsum), so ``lax.scan`` can
+  carry a fixed layout.
+* **Minor-dim padding.** TPU tiles the last two dims as (8, 128); an
+  intermediate whose minor dim is small is padded up to 64× — a 26-qubit
+  view ending in a width-2 axis literally OOMs HBM (measured: a
+  (1, 2^25, 2) temp padded 256 MB → 16 GB).  So the LANE BLOCK — the
+  last ⌈min(n,7)⌉ qubits — is PINNED at the trailing axis positions for
+  the whole plan: every non-lane window then contracts with the lane
+  block behind it (minor dim ≥ 128), and the lane window itself
+  contracts in trailing position with its output transposed back in the
+  same einsum (``->xai``), never moving.  Fused phases use in-register
+  iota masks over a (2, front, lane) view rather than fine-grained
+  reshapes, for the same reason.
+
+Windows are qubit-contiguous blocks and blocks move as units, so every
+window's axes stay contiguous and in-order under the evolving
+permutation (removing a contiguous block from an ordered list keeps the
+rest ordered).
 
 No reference analogue (the reference is serial NumPy: qgates.py:278-279);
-this is the TPU-native formulation of SURVEY.md §7 decision 1.
+this is a TPU-native alternative engine for SURVEY.md §7 decision 1.
 """
 from __future__ import annotations
 
@@ -46,7 +56,6 @@ from qbot_tpu.tpu.compiler import (
     ContractStep,
     DiagStep,
     FlipStep,
-    PairStep,
     PhaseStep,
     Plan,
     ReflectStep,
@@ -58,8 +67,13 @@ from qbot_tpu.tpu.compiler import (
 __all__ = ["lower_dot_plan", "apply_plan_dot", "DotPlan", "dot_precision",
            "make_scanned_dot_runner"]
 
-_LETTERS = string.ascii_lowercase.replace("x", "") + \
-    string.ascii_uppercase
+# block labels for restore specs; x/i/c/j are reserved for the planar
+# axis and the window contraction
+_LETTERS = "".join(ch for ch in
+                   string.ascii_lowercase + string.ascii_uppercase
+                   if ch not in "xicj")
+
+_LANE_LOG2 = 7                # minor-dim block kept pinned at the tail
 
 
 def dot_precision():
@@ -94,11 +108,10 @@ def _flat_index_permuted(m: int, n: int, perm) -> int:
 class _Win:
     """One window contraction pass."""
     step: WindowStep                  # terms to fold (matrices/params)
-    view: tuple[int, ...]             # rhs reshape dims (2, A?, D, B?)
+    view: tuple[int, ...]             # rhs reshape dims
     spec: str                         # einsum spec
-    out_view: tuple[int, ...]         # reshape of the einsum output
     flips: tuple[int, ...]            # permuted flat indices, applied pre
-    phases: tuple                     # (positions, z, pattern), applied pre
+    phases: tuple                     # (positions, z) bit specs, applied pre
 
 
 @dataclass(frozen=True)
@@ -134,30 +147,37 @@ class DotPlan:
     final_perm: tuple[int, ...]       # == entry_perm when cycle=True
 
 
-def _window_spec(n: int, p: int, w: int, perm_after, restore_to=None):
-    """Einsum spec + views for contracting the run [p, p+w).
+def _native_spec(n: int, p: int, w: int):
+    """(view, spec, perm_moves) for contracting the run [p, p+w).
 
-    ``restore_to``: if given, the output axes are emitted so the state
-    lands in that permutation (the restore is fused into the dot's
-    output write).  Returns (view, spec, out_view).
+    Lane windows (p + w == n) contract in trailing position with the
+    output transposed back inside the dot (``->xai``) so the layout's
+    minor dim stays the lane block — the permutation does NOT change.
+    Other windows move to the front (dot-native order, no transpose).
     """
     A = 2 ** p
     D = 2 ** w
     B = 2 ** (n - p - w)
-    if restore_to is None:
-        if A > 1 and B > 1:
-            return ((2, A, D, B), "xicj,cajb->xiab", (2, D, A, B))
-        if A > 1:
-            return ((2, A, D), "xicj,caj->xia", (2, D, A))
-        if B > 1:
-            return ((2, D, B), "xicj,cjb->xib", (2, D, B))
-        return ((2, D), "xicj,cj->xi", (2, D))
-    # Restore: split the non-window axes into maximal runs that are
-    # consecutive in restore_to, emit the output spec in restored order
-    # (the transpose rides the dot's output write).  perm_after = window
-    # qubits + rest; restore_to is a permutation of the same qubits.
-    w_qubits = perm_after[:w]
-    rest = perm_after[w:]
+    if B == 1:                        # lane (or whole-register) window
+        if A == 1:
+            return (2, D), "xicj,cj->xi", False
+        return (2, A, D), "xicj,caj->xai", False
+    if A == 1:
+        return (2, D, B), "xicj,cjb->xib", True
+    return (2, A, D, B), "xicj,cajb->xiab", True
+
+
+def _restore_spec(n: int, p: int, w: int, perm_before, restore_to):
+    """Einsum contracting [p, p+w) whose output lands in ``restore_to``.
+
+    The non-window axes are split into maximal runs consecutive in
+    ``restore_to`` (never straddling the window position) and the output
+    spec emits them reordered — the transpose rides the dot's output
+    write.  Returns (view, spec) or None when the restore is not a block
+    permutation (caller falls back to the planar executor).
+    """
+    w_qubits = list(perm_before[p:p + w])
+    rest = list(perm_before[:p]) + list(perm_before[p + w:])
     pos_in_restore = {q: k for k, q in enumerate(restore_to)}
 
     def runs(seg):
@@ -172,8 +192,6 @@ def _window_spec(n: int, p: int, w: int, perm_after, restore_to=None):
             i = j
         return out
 
-    # blocks must not straddle the window's pre-contraction position p:
-    # rest[:p] sat before the window in memory, rest[p:] after
     blocks = runs(rest[:p]) + runs(rest[p:])
     items = [("win", tuple(w_qubits))] + [("blk", b) for b in blocks]
     items.sort(key=lambda kb: pos_in_restore[kb[1][0]])
@@ -183,7 +201,6 @@ def _window_spec(n: int, p: int, w: int, perm_after, restore_to=None):
     rest_letters = {b: _LETTERS[bi] for bi, b in enumerate(blocks)}
     out_letters = ["i" if kind == "win" else rest_letters[b]
                    for kind, b in items]
-    # rhs axes in pre-contraction order: rest[:p] blocks, window, rest[p:]
     rhs_letters = []
     view = [2]
     qcount = 0
@@ -200,35 +217,55 @@ def _window_spec(n: int, p: int, w: int, perm_after, restore_to=None):
         rhs_letters.append("j")
         view.append(2 ** len(w_qubits))
     spec = ("xicj,c" + "".join(rhs_letters) + "->x" + "".join(out_letters))
-    out_view = (2,) + tuple(2 ** len(b) for _, b in items)
-    return tuple(view), spec, out_view
+    return tuple(view), spec
 
 
-def _permuted_phase(phase, perm):
+def _permuted_phase(phase, perm, n):
+    """Phase factor as ((bit_pos, want) ...) in PERMUTED bit positions."""
     qubits, z = phase[0], phase[1]
     pattern = phase[2] if len(phase) > 2 else -1
-    positions = tuple(perm.index(q) for q in qubits)
-    return (positions, complex(z), pattern)
+    k = len(qubits)
+    bits = []
+    for idx, q in enumerate(qubits):
+        want = 1 if pattern < 0 else (pattern >> (k - 1 - idx)) & 1
+        bits.append((perm.index(q), want))
+    return (tuple(bits), complex(z))
+
+
+def _grouped_view_ok(view, n: int) -> bool:
+    """Reject views whose last two dims would pad badly on TPU tiles."""
+    if n <= 13:                       # small states: padding is noise
+        return True
+    return view[-1] >= 128 and (len(view) < 3 or view[-2] >= 8)
 
 
 def lower_dot_plan(plan: Plan, cycle: bool = True) -> Optional[DotPlan]:
     """Lower a window plan to dot-engine steps, or None if a step cannot
-    run under axis permutation (caller falls back to the planar executor).
+    run under the pinned-lane axis permutation (caller falls back to the
+    planar executor).
 
     ``cycle=True`` makes the final permutation equal the entry
     permutation (identity), so ``lax.scan`` can iterate the plan body.
     """
     n = plan.n
+    if n < 2:
+        return None
+    lane_start = n - min(n, _LANE_LOG2)
+    strict = n > 13
     perm = list(range(n))
     lowered: list = []
     flat = [s for s in expand_pairs(plan.steps)]
-    # find the last window step (it absorbs the restore)
-    last_win = max((i for i, s in enumerate(flat)
-                    if isinstance(s, WindowStep)), default=None)
-    if last_win is None or n < 2:
+    win_idx = [i for i, s in enumerate(flat) if isinstance(s, WindowStep)]
+    if not win_idx:
         return None
+    last_win = win_idx[-1]
     for idx, s in enumerate(flat):
         if isinstance(s, WindowStep):
+            is_lane = s.start >= lane_start
+            if not is_lane and s.start + s.width > lane_start:
+                return None           # window straddles the lane block
+            if strict and not is_lane and s.width < 3:
+                return None           # width-1/2 minor axes pad 4x+
             qs = list(range(s.start, s.start + s.width))
             positions = [perm.index(q) for q in qs]
             p0 = positions[0]
@@ -237,41 +274,35 @@ def lower_dot_plan(plan: Plan, cycle: bool = True) -> Optional[DotPlan]:
                                       # for partition windows; bail safe)
             flips = tuple(_flat_index_permuted(m, n, perm)
                           for m in s.pre_flips)
-            phases = tuple(_permuted_phase(ph, perm)
+            phases = tuple(_permuted_phase(ph, perm, n)
                            for ph in s.pre_phases)
-            new_perm = qs + [q for q in perm if q not in qs]
             if cycle and idx == last_win:
                 target = list(range(n))
-                sv = _window_spec(n, p0, s.width, new_perm,
-                                  restore_to=target)
+                sv = _restore_spec(n, p0, s.width, perm, target)
                 if sv is None:
                     return None
-                view, spec, out_view = sv
+                view, spec = sv
                 perm = target
             else:
-                view, spec, out_view = _window_spec(n, p0, s.width,
-                                                    new_perm)
-                perm = new_perm
-            lowered.append(_Win(s, view, spec, out_view, flips, phases))
+                view, spec, moves = _native_spec(n, p0, s.width)
+                if moves:
+                    perm = qs + [q for q in perm if q not in qs]
+            lowered.append(_Win(s, view, spec, flips, phases))
         elif isinstance(s, FlipStep):
             lowered.append(_Flip(_flat_index_permuted(s.index, n, perm)))
-        elif isinstance(s, PhaseStep):
-            d = phase_as_diag(s)
+        elif isinstance(s, (PhaseStep, DiagStep)):
+            d = phase_as_diag(s) if isinstance(s, PhaseStep) else s
             positions = tuple(perm.index(q) for q in d.targets)
             from qbot_tpu.tpu.planar import _diag_grouped_views
             view, dr, di = _diag_grouped_views(n, positions, d.diag)
-            lowered.append(_Diag(view, dr, di))
-        elif isinstance(s, DiagStep):
-            positions = tuple(perm.index(q) for q in s.targets)
-            from qbot_tpu.tpu.planar import _diag_grouped_views
-            view, dr, di = _diag_grouped_views(n, positions, s.diag)
+            if not _grouped_view_ok(view, n):
+                return None
             lowered.append(_Diag(view, dr, di))
         elif isinstance(s, ReflectStep):
             # factor blocks tile [0, n) in canonical order; they survive
             # permutation only if each block is a contiguous in-order run
             sizes = [int(f.shape[0]).bit_length() - 1 for f in s.factors]
             starts = np.cumsum([0] + sizes[:-1])
-            fperm = []
             ok = True
             order = []
             for f, st, sz in zip(s.factors, starts, sizes):
@@ -305,28 +336,38 @@ def _realify(Wr, Wi):
                       jnp.stack([Wi, Wr], axis=1)], axis=0)
 
 
-def _apply_phases_elementwise(psi, n, phases):
-    """Controlled-phase factors as broadcast masked complex multiplies.
+def _apply_phases_masked(psi, n, phases):
+    """Controlled-phase factors as in-register iota bit masks.
 
-    Positions are already permuted.  Mask products stay in-register: XLA
-    fuses the whole chain into the neighbouring pass's loop.
+    The state views as (2, front, lane) — minor dim stays the lane block
+    so no small-axis padding — and each factor's mask is a product of
+    bit tests on two broadcasted iotas, fused by XLA into the
+    neighbouring pass (same trick as the scanned-reflect runner's
+    ``sign_pattern``; the barrier stops constant-folding into a
+    state-sized literal).
     """
-    from qbot_tpu.tpu.planar import _diag_grouped_views
-
-    for positions, z, pattern in phases:
-        k = len(positions)
-        diag = np.ones(2 ** k, dtype=np.complex128)
-        if pattern < 0:
-            diag[-1] = z
-        else:
-            diag[pattern] = z
-        view, dr, di = _diag_grouped_views(n, positions, diag)
-        t = psi.reshape(view)
-        pr, pi = t[0], t[1]
-        out_r = dr * pr - di * pi
-        out_i = dr * pi + di * pr
-        psi = jnp.stack([out_r, out_i]).reshape(psi.shape)
-    return psi
+    lane = min(n, _LANE_LOG2)
+    F = 2 ** (n - lane)
+    L = 2 ** lane
+    row = jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    row, col = jax.lax.optimization_barrier((row, col))
+    t = psi.reshape(2, F, L)
+    pr, pi = t[0], t[1]
+    for bits, z in phases:
+        mask = None
+        for pos, want in bits:
+            if pos < n - lane:
+                bit = (row >> (n - lane - 1 - pos)) & 1
+            else:
+                bit = (col >> (n - 1 - pos)) & 1
+            m = bit if want else 1 - bit
+            mask = m if mask is None else mask * m
+        maskf = mask.astype(pr.dtype)
+        fr = 1.0 + (np.float32(z.real) - 1.0) * maskf
+        fi = np.float32(z.imag) * maskf
+        pr, pi = pr * fr - pi * fi, pr * fi + pi * fr
+    return jnp.stack([pr, pi]).reshape(2, -1)
 
 
 def apply_plan_dot(psi: jnp.ndarray, lowered: DotPlan,
@@ -345,7 +386,7 @@ def apply_plan_dot(psi: jnp.ndarray, lowered: DotPlan,
             for m in s.flips:
                 psi = psi.at[:, m].multiply(-1)
             if s.phases:
-                psi = _apply_phases_elementwise(psi, n, s.phases)
+                psi = _apply_phases_masked(psi, n, s.phases)
             Wr, Wi = _fold_planar_pair(s.step, params, psi.dtype)
             M = _realify(Wr, Wi)
             out = jnp.einsum(s.spec, M, psi.reshape(s.view),

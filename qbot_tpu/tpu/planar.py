@@ -426,7 +426,18 @@ def _apply_contract_planar(psi, n: int, step: ContractStep, params):
 
 
 def apply_plan_planar(psi: jnp.ndarray, plan: Plan, params=None) -> jnp.ndarray:
-    """Run a compiled plan over a planar (2, 2^n) statevector (traceable)."""
+    """Run a compiled plan over a planar (2, 2^n) statevector (traceable).
+
+    Honours ``plan.engine == "dot"`` (set by the auto-compiler) by
+    routing through the axis-scheduled dot executor; its cycle restore
+    leaves the output in canonical layout, so semantics are identical.
+    """
+    if getattr(plan, "engine", "pallas") == "dot":
+        from qbot_tpu.tpu.dotplan import apply_plan_dot, lower_dot_plan
+
+        lowered = lower_dot_plan(plan)
+        if lowered is not None:
+            return apply_plan_dot(psi, lowered, params)
     n = plan.n
     for step in plan.steps:
         if isinstance(step, WindowStep):
@@ -682,6 +693,13 @@ def make_scanned_planar_runner(body_plan: Plan, repeats: int,
                                             init_plan)
         if fast is not None:
             return fast
+
+    if getattr(body_plan, "engine", "pallas") == "dot":
+        from qbot_tpu.tpu.dotplan import make_scanned_dot_runner
+
+        dot = make_scanned_dot_runner(body_plan, repeats, init_plan)
+        if dot is not None:
+            return dot
 
     @jax.jit
     def run(psi, params=None):

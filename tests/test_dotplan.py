@@ -112,6 +112,15 @@ class TestDifferential:
         _compare(c, 3)
 
 
+class TestRestoreBlocks:
+    @pytest.mark.parametrize("w", [3, 4])
+    def test_many_block_restore(self, w):
+        """Deep scatter: the final restore spans 3+ blocks, exercising the
+        block-letter pool (a label collision with the reserved x/i/c/j
+        letters slipped past the small cases)."""
+        _compare(_brickwork(12, 4, seed=11), w, seed=12)
+
+
 class TestCycle:
     def test_scanned_body_matches_sequential(self):
         kernels.set_kernel_mode("off")
