@@ -66,7 +66,9 @@ if __name__ == "__main__":
     psi = zero_state_planar(N)
     outs = {}
     for w in widths:
-        plan = compile_circuit(body, window=w)
+        plan = compile_circuit(body, window=w,
+                               partition="dot" if modes == ["dot"]
+                               else "pallas")
         from qbot_tpu.tpu.compiler import PairStep, WindowStep
         nwin = sum(2 if isinstance(s, PairStep) else 1
                    for s in plan.steps if isinstance(s, (PairStep,

@@ -303,14 +303,16 @@ def decompose_spanning_swap(op: CircuitOp) -> Optional[list[CircuitOp]]:
 _PALLAS_BW = 210e9
 _MXU_EFF = {"f32": 22e12, "bf16_3x": 44e12, "bf16": 130e12}
 
-# dot-engine parameters: an ISOLATED XLA dot_general in native output
-# order sustains ~316 GB/s state traffic (benchmarks/diag_xladot2.py) —
-# the measured ceiling for ANY formulation on this stack — but full
-# plans measure ~5.6 ms/pass at 26q (192 GB/s effective; inter-pass
-# relayout copies eat the difference, benchmarks/diag_dotbench.py), so
-# the plan-level model uses the end-to-end figure.
+# dot-engine parameters: an ISOLATED XLA dot in native output order
+# sustains ~518 GB/s (diag_xladot2 corrected for the ~21 ms per-call
+# dispatch overhead; see docs/perf.md), and the pinned-tail views avoid
+# inter-pass relayouts (diag_pintail: 2.9 ms/pass for chained front
+# windows) — but full plans still measure ~4.8-5.2 ms/pass at 26q
+# (diag_dotbench): tail windows pay a fused output transpose and every
+# cross-window phase group costs an elementwise pass the Pallas kernels
+# fuse for free.  The plan-level model uses the end-to-end figure.
 _XLA_BW = 316e9
-_DOT_PASS_BW = 192e9
+_DOT_PASS_BW = 205e9
 _DOT_MXU = {"f32": 33e12, "bf16_3x": 60e12, "bf16": 180e12}
 
 
@@ -376,40 +378,56 @@ def plan_cost_model(plan: Plan, dot_mode: str = "f32") -> float:
     return t
 
 
-def compile_circuit(circ: Circuit, window=7, pair: bool = True) -> Plan:
+def compile_circuit(circ: Circuit, window=7, pair: bool = True,
+                    partition: str = "pallas") -> Plan:
     """Compile to a window-fused plan.
 
-    ``window="auto"`` compiles candidate widths 4..7 and keeps the plan
-    the single-chip cost model ranks fastest for the current kernel dot
-    mode — gate-dense circuits pick wide MXU-heavy windows, sparse ones
-    pick narrow HBM-bound windows (round-3: at f32 a D=128 window matmul
-    costs ~3× its own HBM pass, so brickworks run faster at w≈5).
+    ``window="auto"`` compiles candidate widths 4..7 for both engines
+    and keeps the plan the measurement-calibrated cost models rank
+    fastest for the current kernel dot mode.  ``partition="dot"`` aligns
+    window boundaries to the dot engine's pinned (8, 128) tail blocks.
     """
     if window == "auto":
         from qbot_tpu.tpu.kernels import _use_pallas, dot_mode
 
         mode = dot_mode()
-        # With Pallas available the pair-fused kernels win every measured
-        # 26q config (BENCH/diag_dotbench), so rank widths on the Pallas
-        # model.  Without Pallas (kernel mode "off" / non-TPU backend)
-        # the dot engine beats the 4-matmul XLA fallback ~1.5x — prefer
-        # it when the plan lowers.
-        engines = (("pallas", plan_cost_model) if _use_pallas()
-                   else ("dot", dot_cost_model))
-        eng, model = engines
+        # Rank both engines on their calibrated models; without Pallas
+        # (kernel mode "off" / non-TPU backend) only the dot engine and
+        # its XLA fallback are available.
+        engines = [("dot", dot_cost_model)]
+        if _use_pallas():
+            engines.append(("pallas", plan_cost_model))
         best = None
-        for w_try in range(4, 8):
-            cand = compile_circuit(circ, w_try, pair)
-            cost = model(cand, mode)
-            if best is None or cost < best[0]:
-                best = (cost, cand)
-        plan = best[1]
+        for w_try in range(4, 9):
+            for eng, model in engines:
+                if eng == "pallas" and w_try > 7:
+                    continue          # pallas kernels cap at 128x128
+                cand = compile_circuit(
+                    circ, w_try, pair,
+                    partition="dot" if eng == "dot" else "pallas")
+                cost = model(cand, mode)
+                if best is None or cost < best[0]:
+                    best = (cost, cand, eng)
+        _, plan, eng = best
         if eng == "dot":
             from qbot_tpu.tpu.dotplan import lower_dot_plan
 
             if lower_dot_plan(plan) is not None:
                 plan.engine = "dot"
+            elif _use_pallas():
+                return compile_circuit(circ, "auto_pallas", pair)
         return plan
+    if window == "auto_pallas":       # internal: pallas-only re-rank
+        from qbot_tpu.tpu.kernels import dot_mode
+
+        mode = dot_mode()
+        best = None
+        for w_try in range(4, 8):
+            cand = compile_circuit(circ, w_try, pair)
+            cost = plan_cost_model(cand, mode)
+            if best is None or cost < best[0]:
+                best = (cost, cand)
+        return best[1]
     n = circ.n
     w = min(window, n) if n else 1
     # Hybrid contiguous window partition, chosen for the Pallas kernel
@@ -421,14 +439,26 @@ def compile_circuit(circ: Circuit, window=7, pair: bool = True) -> Plan:
     # left-multiply kernel; no geometry falls into the slow XLA fallback.
     # ``w`` < 7 trades more HBM passes for fewer MXU FLOPs (fused window
     # matrices are 2^w square), which wins when layers are gate-sparse.
+    #
+    # ``partition="dot"`` (n >= 14): boundaries also at n-10 and n-7, so
+    # the dot engine's pinned (8, 128) tail blocks are their own windows
+    # — every intermediate layout then keeps the same last-two dims and
+    # leading-dim re-splits are bitcasts (docs/perf.md; measured 1.8×).
     LANE_LOG2 = 7
-    last_w = min(n, LANE_LOG2)
-    front = n - last_w
-    rem = front % w
-    bounds = ([(0, rem)] if rem else []) + [
-        (rem + i * w, w) for i in range(front // w)]
-    if last_w:
-        bounds.append((front, last_w))
+    if partition == "dot" and n >= 14:
+        front = n - 10
+        rem = front % w
+        bounds = ([(0, rem)] if rem else []) + [
+            (rem + i * w, w) for i in range(front // w)]
+        bounds += [(n - 10, 3), (n - 7, 7)]
+    else:
+        last_w = min(n, LANE_LOG2)
+        front = n - last_w
+        rem = front % w
+        bounds = ([(0, rem)] if rem else []) + [
+            (rem + i * w, w) for i in range(front // w)]
+        if last_w:
+            bounds.append((front, last_w))
     group_of = [0] * n
     for gi, (start, width) in enumerate(bounds):
         for q in range(start, start + width):

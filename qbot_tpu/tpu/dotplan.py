@@ -1,42 +1,42 @@
 """Axis-scheduled XLA dot executor for planar statevectors.
 
-Measured motivation (axon TPU v5e, 26 qubits, benchmarks/diag_pairperf.py
-+ diag_xladot*.py): the Pallas DMA pipeline tops out near ~210 GB/s for
-window-shaped tiles no matter the tile geometry, while a single XLA
-``dot_general`` moves ~316 GB/s when its output is left in dot-native
-order — and the *whole* planar complex window product fits in ONE dot via
-realified algebra:
+Measured motivation (axon TPU v5e, 26 qubits, benchmarks/diag_*.py; all
+numbers corrected for the ~21 ms per-call dispatch overhead — see
+docs/perf.md): the Pallas DMA pipeline caps near ~315 GB/s for
+window-shaped tiles, while a single XLA ``dot_general`` moves ~518 GB/s
+when its output stays in dot-native order — and the whole planar complex
+window product fits in ONE dot via realified algebra:
 
     out[x, i, rest] = sum_{c, j} M[x, i, c, j] * psi[c, ..., j, ...]
 
 with ``M = [[Wr, -Wi], [Wi, Wr]]`` laid out as (2, D, 2, D).  One dot =
-one read + one write of the state (the 4-matmul planar form reads each
-component twice and writes intermediates).
+one read + one write of the state.
 
-Two hazards shape the design:
+Three hazards shape the design:
 
-* **Output order.** The dot's native output puts the contracted window
-  first — ``(x, i, a, b)`` — and forcing canonical order back costs a
-  fused output transpose (~+45%/pass, measured).  So the executor tracks
-  the axis permutation across steps instead; only the last window of a
-  plan body pays a restore (fused into its einsum), so ``lax.scan`` can
-  carry a fixed layout.
-* **Minor-dim padding.** TPU tiles the last two dims as (8, 128); an
-  intermediate whose minor dim is small is padded up to 64× — a 26-qubit
-  view ending in a width-2 axis literally OOMs HBM (measured: a
-  (1, 2^25, 2) temp padded 256 MB → 16 GB).  So the LANE BLOCK — the
-  last ⌈min(n,7)⌉ qubits — is PINNED at the trailing axis positions for
-  the whole plan: every non-lane window then contracts with the lane
-  block behind it (minor dim ≥ 128), and the lane window itself
-  contracts in trailing position with its output transposed back in the
-  same einsum (``->xai``), never moving.  Fused phases use in-register
-  iota masks over a (2, front, lane) view rather than fine-grained
-  reshapes, for the same reason.
+* **Output order.** Forcing the dot's output back to canonical axis
+  order costs a fused transpose (~+45%/pass).  The executor instead
+  tracks the axis permutation across steps; only the last front window
+  of a plan body pays a restore (fused into its einsum), so ``lax.scan``
+  can carry a fixed layout.
+* **Minor-dim padding.** TPU tiles the last two dims (8, 128); a view
+  ending in a small axis pads up to 64× (a 26q (…,2)-minor temp OOMs
+  HBM — measured).
+* **Inter-pass relayouts.** XLA re-tiles whenever consecutive views
+  change the last-two dims — this cost the first dot-engine cut
+  ~3.5 ms/pass.  Fix (measured 1.8×, diag_pintail.py): the last two
+  axis blocks — the LANE block (last min(n,7) qubits) and the SUBLANE
+  block (the min(3, n-lane) before it) — are PINNED in place for the
+  whole plan, so every view ends with the same (S, L) = (8, 128) dims
+  and leading-dim re-splits are bitcasts.  Front windows contract with
+  the tail behind them (dot-native output, window moves to front);
+  tail windows contract in place with the output transposed inside the
+  einsum (``->xfil`` / ``->xfsi``), never moving.
 
-Windows are qubit-contiguous blocks and blocks move as units, so every
-window's axes stay contiguous and in-order under the evolving
-permutation (removing a contiguous block from an ordered list keeps the
-rest ordered).
+Windows are qubit-contiguous blocks and front blocks move as units, so
+every window's axes stay contiguous and in-order under the evolving
+permutation.  ``compile_circuit(partition="dot")`` aligns the window
+partition to the tail blocks at n >= 14.
 
 No reference analogue (the reference is serial NumPy: qgates.py:278-279);
 this is a TPU-native alternative engine for SURVEY.md §7 decision 1.
@@ -67,13 +67,14 @@ from qbot_tpu.tpu.compiler import (
 __all__ = ["lower_dot_plan", "apply_plan_dot", "DotPlan", "dot_precision",
            "make_scanned_dot_runner"]
 
-# block labels for restore specs; x/i/c/j are reserved for the planar
-# axis and the window contraction
+# block labels for specs; x/i/c/j reserved (planar axis + contraction),
+# s/l reserved (pinned sublane/lane tail axes)
 _LETTERS = "".join(ch for ch in
                    string.ascii_lowercase + string.ascii_uppercase
-                   if ch not in "xicj")
+                   if ch not in "xicjsl")
 
-_LANE_LOG2 = 7                # minor-dim block kept pinned at the tail
+_LANE_LOG2 = 7                # pinned minor axis (lanes)
+_SUB_LOG2 = 3                 # pinned second-minor axis (sublanes)
 
 
 def dot_precision():
@@ -88,6 +89,13 @@ def dot_precision():
     return {"f32": jax.lax.Precision.HIGHEST,
             "bf16_3x": jax.lax.Precision.HIGH,
             "bf16": jax.lax.Precision.DEFAULT}[dot_mode()]
+
+
+def _tail_split(n: int) -> tuple[int, int, int]:
+    """(front_qubits, sublane_qubits, lane_qubits) for the pinned tail."""
+    lane = min(n, _LANE_LOG2)
+    sub = min(_SUB_LOG2, n - lane)
+    return n - sub - lane, sub, lane
 
 
 def _flat_index_permuted(m: int, n: int, perm) -> int:
@@ -111,7 +119,7 @@ class _Win:
     view: tuple[int, ...]             # rhs reshape dims
     spec: str                         # einsum spec
     flips: tuple[int, ...]            # permuted flat indices, applied pre
-    phases: tuple                     # (positions, z) bit specs, applied pre
+    phases: tuple                     # ((bit_pos, want)..., z), applied pre
 
 
 @dataclass(frozen=True)
@@ -148,36 +156,40 @@ class DotPlan:
 
 
 def _native_spec(n: int, p: int, w: int):
-    """(view, spec, perm_moves) for contracting the run [p, p+w).
+    """(view, spec, moves_to_front) contracting the run [p, p+w).
 
-    Lane windows (p + w == n) contract in trailing position with the
-    output transposed back inside the dot (``->xai``) so the layout's
-    minor dim stays the lane block — the permutation does NOT change.
-    Other windows move to the front (dot-native order, no transpose).
+    Front windows carry the pinned (S, L) tail as passthrough axes and
+    move to the front of the front region; tail windows contract in
+    place with the output transposed inside the dot so the (S, L) axes
+    stay last.
     """
-    A = 2 ** p
-    D = 2 ** w
-    B = 2 ** (n - p - w)
-    if B == 1:                        # lane (or whole-register) window
-        if A == 1:
-            return (2, D), "xicj,cj->xi", False
-        return (2, A, D), "xicj,caj->xai", False
-    if A == 1:
-        return (2, D, B), "xicj,cjb->xib", True
-    return (2, A, D, B), "xicj,cajb->xiab", True
+    front, sub, lane = _tail_split(n)
+    S, L = 2 ** sub, 2 ** lane
+    if p + w <= front:                # front window
+        A = 2 ** p
+        D = 2 ** w
+        B = 2 ** (front - p - w)
+        return ((2, A, D, B, S, L), "xicj,cajbsl->xiabsl", True)
+    if p == front and w == sub:       # sublane window
+        return ((2, 2 ** front, S, L), "xicj,cfjl->xfil", False)
+    if p == front + sub and w == lane:  # lane window
+        return ((2, 2 ** front, S, L), "xicj,cfsj->xfsi", False)
+    return None                       # straddles the pinned tail
 
 
 def _restore_spec(n: int, p: int, w: int, perm_before, restore_to):
-    """Einsum contracting [p, p+w) whose output lands in ``restore_to``.
+    """Front-window einsum whose output lands in ``restore_to``.
 
-    The non-window axes are split into maximal runs consecutive in
-    ``restore_to`` (never straddling the window position) and the output
-    spec emits them reordered — the transpose rides the dot's output
-    write.  Returns (view, spec) or None when the restore is not a block
-    permutation (caller falls back to the planar executor).
+    Only the front region permutes (tail windows contract in place), so
+    the restore reorders front blocks; the pinned (s, l) axes ride
+    through as trailing passthrough letters.  Returns (view, spec) or
+    None when the restore is not a block permutation.
     """
-    w_qubits = list(perm_before[p:p + w])
-    rest = list(perm_before[:p]) + list(perm_before[p + w:])
+    front, sub, lane = _tail_split(n)
+    S, L = 2 ** sub, 2 ** lane
+    fperm = list(perm_before[:front])
+    w_qubits = fperm[p:p + w]
+    rest = fperm[:p] + fperm[p + w:]
     pos_in_restore = {q: k for k, q in enumerate(restore_to)}
 
     def runs(seg):
@@ -196,7 +208,7 @@ def _restore_spec(n: int, p: int, w: int, perm_before, restore_to):
     items = [("win", tuple(w_qubits))] + [("blk", b) for b in blocks]
     items.sort(key=lambda kb: pos_in_restore[kb[1][0]])
     flat = [q for _, b in items for q in b]
-    if tuple(flat) != tuple(restore_to):
+    if tuple(flat) != tuple(restore_to[:front]):
         return None                   # not a block permutation
     rest_letters = {b: _LETTERS[bi] for bi, b in enumerate(blocks)}
     out_letters = ["i" if kind == "win" else rest_letters[b]
@@ -216,7 +228,9 @@ def _restore_spec(n: int, p: int, w: int, perm_before, restore_to):
     if not rhs_done:
         rhs_letters.append("j")
         view.append(2 ** len(w_qubits))
-    spec = ("xicj,c" + "".join(rhs_letters) + "->x" + "".join(out_letters))
+    view += [S, L]
+    spec = ("xicj,c" + "".join(rhs_letters) + "sl->x"
+            + "".join(out_letters) + "sl")
     return tuple(view), spec
 
 
@@ -241,7 +255,7 @@ def _grouped_view_ok(view, n: int) -> bool:
 
 def lower_dot_plan(plan: Plan, cycle: bool = True) -> Optional[DotPlan]:
     """Lower a window plan to dot-engine steps, or None if a step cannot
-    run under the pinned-lane axis permutation (caller falls back to the
+    run under the pinned-tail axis permutation (caller falls back to the
     planar executor).
 
     ``cycle=True`` makes the final permutation equal the entry
@@ -250,22 +264,20 @@ def lower_dot_plan(plan: Plan, cycle: bool = True) -> Optional[DotPlan]:
     n = plan.n
     if n < 2:
         return None
-    lane_start = n - min(n, _LANE_LOG2)
-    strict = n > 13
+    front, sub, lane = _tail_split(n)
     perm = list(range(n))
     lowered: list = []
     flat = [s for s in expand_pairs(plan.steps)]
-    win_idx = [i for i, s in enumerate(flat) if isinstance(s, WindowStep)]
-    if not win_idx:
+    # the restore folds into the LAST front window (tail windows never
+    # disturb the permutation)
+    front_wins = [i for i, s in enumerate(flat)
+                  if isinstance(s, WindowStep)
+                  and s.start + s.width <= front]
+    if not any(isinstance(s, WindowStep) for s in flat):
         return None
-    last_win = win_idx[-1]
+    last_front = front_wins[-1] if front_wins else None
     for idx, s in enumerate(flat):
         if isinstance(s, WindowStep):
-            is_lane = s.start >= lane_start
-            if not is_lane and s.start + s.width > lane_start:
-                return None           # window straddles the lane block
-            if strict and not is_lane and s.width < 3:
-                return None           # width-1/2 minor axes pad 4x+
             qs = list(range(s.start, s.start + s.width))
             positions = [perm.index(q) for q in qs]
             p0 = positions[0]
@@ -276,17 +288,24 @@ def lower_dot_plan(plan: Plan, cycle: bool = True) -> Optional[DotPlan]:
                           for m in s.pre_flips)
             phases = tuple(_permuted_phase(ph, perm, n)
                            for ph in s.pre_phases)
-            if cycle and idx == last_win:
-                target = list(range(n))
-                sv = _restore_spec(n, p0, s.width, perm, target)
+            if cycle and idx == last_front:
+                # always restore here: a native front contraction would
+                # move this window to the front and break the cycle even
+                # when the permutation is currently canonical
+                sv = _restore_spec(n, p0, s.width, perm,
+                                   list(range(n)))
                 if sv is None:
                     return None
                 view, spec = sv
-                perm = target
+                perm = list(range(n))
             else:
-                view, spec, moves = _native_spec(n, p0, s.width)
+                sv = _native_spec(n, p0, s.width)
+                if sv is None:
+                    return None
+                view, spec, moves = sv
                 if moves:
-                    perm = qs + [q for q in perm if q not in qs]
+                    perm = (qs + [q for q in perm[:front] if q not in qs]
+                            + perm[front:])
             lowered.append(_Win(s, view, spec, flips, phases))
         elif isinstance(s, FlipStep):
             lowered.append(_Flip(_flat_index_permuted(s.index, n, perm)))
@@ -325,7 +344,7 @@ def lower_dot_plan(plan: Plan, cycle: bool = True) -> Optional[DotPlan]:
         else:
             return None
     if cycle and perm != list(range(n)):
-        return None                   # no trailing window to restore on
+        return None                   # no front window to restore on
     return DotPlan(n=n, num_params=plan.num_params, steps=lowered,
                    entry_perm=tuple(range(n)), final_perm=tuple(perm))
 
@@ -339,34 +358,36 @@ def _realify(Wr, Wi):
 def _apply_phases_masked(psi, n, phases):
     """Controlled-phase factors as in-register iota bit masks.
 
-    The state views as (2, front, lane) — minor dim stays the lane block
-    so no small-axis padding — and each factor's mask is a product of
-    bit tests on two broadcasted iotas, fused by XLA into the
+    The state views as the pinned (2, F, S, L) carrier — the last two
+    dims never change so no relayout — and each factor's mask is a
+    product of bit tests on broadcasted iotas, fused by XLA into the
     neighbouring pass (same trick as the scanned-reflect runner's
     ``sign_pattern``; the barrier stops constant-folding into a
     state-sized literal).
     """
-    lane = min(n, _LANE_LOG2)
-    F = 2 ** (n - lane)
-    L = 2 ** lane
-    row = jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-    row, col = jax.lax.optimization_barrier((row, col))
-    t = psi.reshape(2, F, L)
+    front, sub, lane = _tail_split(n)
+    F, S, L = 2 ** front, 2 ** sub, 2 ** lane
+    fi_ = jax.lax.broadcasted_iota(jnp.int32, (F, 1, 1), 0)
+    si_ = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
+    li_ = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
+    fi_, si_, li_ = jax.lax.optimization_barrier((fi_, si_, li_))
+    t = psi.reshape(2, F, S, L)
     pr, pi = t[0], t[1]
     for bits, z in phases:
         mask = None
         for pos, want in bits:
-            if pos < n - lane:
-                bit = (row >> (n - lane - 1 - pos)) & 1
+            if pos < front:
+                bit = (fi_ >> (front - 1 - pos)) & 1
+            elif pos < front + sub:
+                bit = (si_ >> (front + sub - 1 - pos)) & 1
             else:
-                bit = (col >> (n - 1 - pos)) & 1
+                bit = (li_ >> (n - 1 - pos)) & 1
             m = bit if want else 1 - bit
             mask = m if mask is None else mask * m
         maskf = mask.astype(pr.dtype)
         fr = 1.0 + (np.float32(z.real) - 1.0) * maskf
-        fi = np.float32(z.imag) * maskf
-        pr, pi = pr * fr - pi * fi, pr * fi + pi * fr
+        fim = np.float32(z.imag) * maskf
+        pr, pi = pr * fr - pi * fim, pr * fim + pi * fr
     return jnp.stack([pr, pi]).reshape(2, -1)
 
 
@@ -415,8 +436,8 @@ def make_scanned_dot_runner(plan: Plan, repeats: int, init_plan=None):
     """jit(psi, params?) -> state after ``repeats`` plan bodies, dot engine.
 
     Returns None when the plan does not lower (caller uses the planar
-    runner).  The body's restore is fused into its last dot, so the scan
-    carry keeps the canonical layout.
+    runner).  The body's restore is fused into its last front dot, so
+    the scan carry keeps the canonical layout.
     """
     lowered = lower_dot_plan(plan, cycle=True)
     if lowered is None:

@@ -113,12 +113,33 @@ class TestDifferential:
 
 
 class TestRestoreBlocks:
-    @pytest.mark.parametrize("w", [3, 4])
-    def test_many_block_restore(self, w):
+    def test_many_block_restore(self, ):
         """Deep scatter: the final restore spans 3+ blocks, exercising the
         block-letter pool (a label collision with the reserved x/i/c/j
         letters slipped past the small cases)."""
-        _compare(_brickwork(12, 4, seed=11), w, seed=12)
+        _compare(_brickwork(12, 4, seed=11), 3, seed=12)
+
+    @pytest.mark.parametrize("w", [3, 4])
+    def test_dot_partition_at_14q(self, w):
+        """The pinned-tail partition (boundaries at n-10 and n-7) lowers
+        and matches the planar executor at a size where the tail blocks
+        are real (8, 128) axes."""
+        from qbot_tpu.tpu.compiler import compile_circuit
+
+        kernels.set_kernel_mode("off")
+        try:
+            circ = _brickwork(14, 3, seed=13)
+            plan = compile_circuit(circ, window=w, partition="dot")
+            lowered = lower_dot_plan(plan)
+            assert lowered is not None
+            assert lowered.final_perm == lowered.entry_perm
+            psi0 = _rand_state(14, 14)
+            ref = apply_plan_planar(psi0, compile_circuit(circ, window=w))
+            out = apply_plan_dot(psi0, lowered)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=F32TOL)
+        finally:
+            kernels.set_kernel_mode("auto")
 
 
 class TestCycle:
