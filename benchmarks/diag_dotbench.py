@@ -61,6 +61,8 @@ if __name__ == "__main__":
     widths = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1
                                else "5,6,7").split(",")]
     modes = (sys.argv[2] if len(sys.argv) > 2 else "dot").split(",")
+    if len(sys.argv) > 3:
+        kernels.set_dot_mode(sys.argv[3])
     body = brickwork_body(N, LAYERS)
     gates = body.gate_count * REPEATS
     psi = zero_state_planar(N)

@@ -235,15 +235,32 @@ def _restore_spec(n: int, p: int, w: int, perm_before, restore_to):
 
 
 def _permuted_phase(phase, perm, n):
-    """Phase factor as ((bit_pos, want) ...) in PERMUTED bit positions."""
+    """Phase factor as host-precomputed per-axis mask vectors.
+
+    The mask (1 where every listed bit matches) factorises per qubit, so
+    it splits across the (front, sublane, lane) carrier axes as an outer
+    product of three 0/1 CONSTANT vectors — no in-trace iotas, no
+    optimization_barrier, nothing for XLA's fusion pass to trip on (the
+    barriered-iota form measured as an unfused extra pass per phase
+    group).  The largest vector is 2^front floats (256 KB at 26q).
+    """
     qubits, z = phase[0], phase[1]
     pattern = phase[2] if len(phase) > 2 else -1
     k = len(qubits)
-    bits = []
+    front, sub, lane = _tail_split(n)
+    sizes = (2 ** front, 2 ** sub, 2 ** lane)
+    vecs = [np.ones(sz, dtype=np.float32) for sz in sizes]
+    spans = ((0, front), (front, front + sub), (front + sub, n))
     for idx, q in enumerate(qubits):
         want = 1 if pattern < 0 else (pattern >> (k - 1 - idx)) & 1
-        bits.append((perm.index(q), want))
-    return (tuple(bits), complex(z))
+        pos = perm.index(q)
+        for ax, (lo, hi) in enumerate(spans):
+            if lo <= pos < hi:
+                ar = np.arange(sizes[ax])
+                bit = (ar >> (hi - 1 - pos)) & 1
+                vecs[ax] *= (bit == want).astype(np.float32)
+                break
+    return (vecs[0], vecs[1], vecs[2], complex(z))
 
 
 def _grouped_view_ok(view, n: int) -> bool:
@@ -356,35 +373,21 @@ def _realify(Wr, Wi):
 
 
 def _apply_phases_masked(psi, n, phases):
-    """Controlled-phase factors as in-register iota bit masks.
+    """Controlled-phase factors as broadcast constant mask vectors.
 
     The state views as the pinned (2, F, S, L) carrier — the last two
-    dims never change so no relayout — and each factor's mask is a
-    product of bit tests on broadcasted iotas, fused by XLA into the
-    neighbouring pass (same trick as the scanned-reflect runner's
-    ``sign_pattern``; the barrier stops constant-folding into a
-    state-sized literal).
+    dims never change so no relayout — and each factor's mask is an
+    outer product of three host-precomputed 0/1 vectors (one per carrier
+    axis), kept in-register by XLA's elementwise fusion.
     """
     front, sub, lane = _tail_split(n)
     F, S, L = 2 ** front, 2 ** sub, 2 ** lane
-    fi_ = jax.lax.broadcasted_iota(jnp.int32, (F, 1, 1), 0)
-    si_ = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
-    li_ = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
-    fi_, si_, li_ = jax.lax.optimization_barrier((fi_, si_, li_))
     t = psi.reshape(2, F, S, L)
     pr, pi = t[0], t[1]
-    for bits, z in phases:
-        mask = None
-        for pos, want in bits:
-            if pos < front:
-                bit = (fi_ >> (front - 1 - pos)) & 1
-            elif pos < front + sub:
-                bit = (si_ >> (front + sub - 1 - pos)) & 1
-            else:
-                bit = (li_ >> (n - 1 - pos)) & 1
-            m = bit if want else 1 - bit
-            mask = m if mask is None else mask * m
-        maskf = mask.astype(pr.dtype)
+    for mf, ms, ml, z in phases:
+        maskf = (jnp.asarray(mf).reshape(F, 1, 1)
+                 * jnp.asarray(ms).reshape(1, S, 1)
+                 * jnp.asarray(ml).reshape(1, 1, L)).astype(pr.dtype)
         fr = 1.0 + (np.float32(z.real) - 1.0) * maskf
         fim = np.float32(z.imag) * maskf
         pr, pi = pr * fr - pi * fim, pr * fim + pi * fr
