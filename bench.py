@@ -131,7 +131,10 @@ def tpu_general() -> dict:
         zero_state_planar
 
     body = _brickwork(N, GENERAL_LAYERS)
-    plan = compile_circuit(body)
+    # headline: the auto-compiled plan (round 4: the in-place dot engine
+    # wins the ranking — 12 window passes per body with support-based
+    # lazy flushing, cross-window CZs as fused mask multiplies)
+    plan = compile_circuit(body, window="auto")
     gates = body.gate_count * GENERAL_REPEATS
     psi0 = zero_state_planar(N)
 
@@ -140,9 +143,14 @@ def tpu_general() -> dict:
     results = {}
     outs = {}
     probes = {}
-    for mode in ("on", "off"):
+    # "on" = the auto plan (its ranked engine); "off" = the kernel-less
+    # XLA 4-matmul fallback on the pallas partition (the floor every
+    # engine is measured against)
+    plan_fallback = compile_circuit(body)
+    plan_fallback.engine = "pallas"
+    for mode, pl in (("on", plan), ("off", plan_fallback)):
         kernels.set_kernel_mode(mode)
-        run = make_scanned_planar_runner(plan, GENERAL_REPEATS)
+        run = make_scanned_planar_runner(pl, GENERAL_REPEATS)
         with CacheHitProbe() as probe:
             compile_s, _ = _timed(run, psi0)
         probes[mode] = probe
@@ -152,6 +160,15 @@ def tpu_general() -> dict:
         outs[mode] = out
         if mode == "on":
             results["compile_on"] = compile_s
+    kernels.set_kernel_mode("auto")
+
+    # the round-3 lineage number: pair-fused Pallas kernels on the
+    # pallas partition (kept for cross-round comparability)
+    kernels.set_kernel_mode("on")
+    run = make_scanned_planar_runner(plan_fallback, GENERAL_REPEATS)
+    pallas_compile_s, _ = _timed(run, psi0)
+    pallas_s, pallas_out = min((_timed(run, psi0) for _ in range(2)),
+                               key=lambda t: t[0])
     kernels.set_kernel_mode("auto")
 
     # precision sweep (bf16_3x: 3-pass Dekker-split MXU mode).  The dot
@@ -171,22 +188,26 @@ def tpu_general() -> dict:
     kernels.set_kernel_mode("auto")
     jax.clear_caches()
 
-    # canaries: unitarity + Pallas/XLA agreement on the full final state
+    # canaries: unitarity + engine/XLA agreement on the full final state
     norm = float(jnp.sum(outs["on"] ** 2))
     delta = float(jnp.max(jnp.abs(outs["on"] - outs["off"])))
+    pallas_delta = float(jnp.max(jnp.abs(pallas_out - outs["off"])))
     bf_norm = float(jnp.sum(bf_out ** 2))
     bf_delta = float(jnp.max(jnp.abs(bf_out - outs["on"])))
     return {
         "general_gates_per_s": round(gates / results["on"], 1),
+        "general_engine": plan.engine,
         "general_layers": GENERAL_LAYERS,
         "general_repeats": GENERAL_REPEATS,
         "general_hbm_passes_per_body": plan.num_passes,
         "general_compile_seconds": round(results["compile_on"], 2),
         "general_compile_cache_evidence": probes["on"].verdict(),
         "general_run_seconds": round(results["on"], 4),
-        "general_pallas_vs_xla": round(results["off"] / results["on"], 3),
+        "general_vs_xla_fallback": round(results["off"] / results["on"], 3),
+        "general_pallas_gates_per_s": round(gates / pallas_s, 1),
         "general_norm": round(norm, 6),
-        "general_pallas_xla_max_delta": float(f"{delta:.2e}"),
+        "general_engine_xla_max_delta": float(f"{delta:.2e}"),
+        "general_pallas_xla_max_delta": float(f"{pallas_delta:.2e}"),
         "general_bf16_3x_gates_per_s": round(gates / bf_elapsed, 1),
         "general_bf16_3x_vs_f32": round(results["on"] / bf_elapsed, 3),
         "general_bf16_3x_compile_seconds": round(bf_compile_s, 2),

@@ -303,45 +303,57 @@ def decompose_spanning_swap(op: CircuitOp) -> Optional[list[CircuitOp]]:
 _PALLAS_BW = 210e9
 _MXU_EFF = {"f32": 22e12, "bf16_3x": 44e12, "bf16": 130e12}
 
-# dot-engine parameters: an ISOLATED XLA dot in native output order
-# sustains ~518 GB/s (diag_xladot2 corrected for the ~21 ms per-call
-# dispatch overhead; see docs/perf.md), and the pinned-tail views avoid
-# inter-pass relayouts (diag_pintail: 2.9 ms/pass for chained front
-# windows) — but full plans still measure ~4.8-5.2 ms/pass at 26q
-# (diag_dotbench): tail windows pay a fused output transpose and every
-# cross-window phase group costs an elementwise pass the Pallas kernels
-# fuse for free.  The plan-level model uses the end-to-end figure.
+# dot-engine parameters (round-4 in-place engine, calibrated to
+# benchmarks/diag_hybrid*.py at 26 qubits; see docs/perf.md): an
+# IN-PLACE window contraction — output axis reuses the contracted
+# axis's position, no relayout — streams at ~420-490 GB/s effective
+# (2.2-2.6 ms/pass); the end-to-end plan pays ~20% scheduling slack on
+# top of max(stream, MXU).  A REAL cross-window phase (CZ) costs ~0.6 ms
+# as one fused mask multiply; complex phases ~1.4 ms.
 _XLA_BW = 316e9
-_DOT_PASS_BW = 205e9
+_DOT_STREAM_BW = 500e9
+_DOT_SLACK = 1.2
 _DOT_MXU = {"f32": 33e12, "bf16_3x": 60e12, "bf16": 180e12}
 
 
 def dot_cost_model(plan: Plan, dot_mode: str = "f32") -> float:
-    """Modeled seconds per plan execution on the dot engine.
+    """Modeled seconds per plan execution on the in-place dot engine.
 
     Pairs count as two passes (the engine applies windows singly); each
-    window costs max(state read+write at the dot pipeline, realified
-    matmul MXU time); diagonals are one elementwise pass; reflections
-    two.
+    window costs max(in-place stream read+write, realified matmul MXU
+    time) plus scheduling slack; fused pre-phases cost their mask
+    multiply (cheap for real phases); diagonals are one elementwise
+    pass; reflections two.
     """
     state_bytes = 2 * (2**plan.n) * 4
-    hbm_pass = 2 * state_bytes / _DOT_PASS_BW
+    stream = 2 * state_bytes / _DOT_STREAM_BW
+    xla_pass = 2 * state_bytes / _XLA_BW
     mxu = _DOT_MXU.get(dot_mode, _DOT_MXU["f32"])
+
+    def phase_cost(phases) -> float:
+        t = 0.0
+        for ph in phases:
+            z = complex(ph[1])
+            t += (0.3 if abs(z.imag) < 1e-9 else 0.7) * stream
+        return t
 
     def win_cost(w) -> float:
         flops = 4.0 * 2.0 * (2**plan.n) * (2**w.width)
-        return max(hbm_pass, flops / mxu)
+        return (max(stream, flops / mxu) * _DOT_SLACK
+                + phase_cost(w.pre_phases))
 
     t = 0.0
     for s in expand_pairs(plan.steps):
         if isinstance(s, FlipStep):
             continue
         if isinstance(s, ReflectStep):
-            t += 2 * hbm_pass
+            t += 2 * xla_pass
         elif isinstance(s, WindowStep):
             t += win_cost(s)
+        elif isinstance(s, PhaseStep):
+            t += phase_cost([(s.qubits, s.phase)])
         else:
-            t += hbm_pass
+            t += xla_pass
     return t
 
 
@@ -378,43 +390,55 @@ def plan_cost_model(plan: Plan, dot_mode: str = "f32") -> float:
     return t
 
 
+def auto_candidates(circ: Circuit, pair: bool = True,
+                    mode: Optional[str] = None):
+    """(cost, plan, engine) for every width/engine the auto search ranks.
+
+    Exposed so tests can mirror the search exactly (the auto branch of
+    :func:`compile_circuit` picks the argmin of THIS list).  Dot-engine
+    candidates compile with ``partition="dot"`` over widths 4..8; Pallas
+    candidates (only when the kernels are available) with the pallas
+    partition over widths 4..7 (the kernels cap at 128×128 tiles).
+    """
+    from qbot_tpu.tpu.kernels import _use_pallas, dot_mode
+
+    if mode is None:
+        mode = dot_mode()
+    out = []
+    for w_try in range(4, 9):
+        cand = compile_circuit(circ, w_try, pair, partition="dot")
+        out.append((dot_cost_model(cand, mode), cand, "dot"))
+        if _use_pallas() and w_try <= 7:
+            cp = compile_circuit(circ, w_try, pair)
+            out.append((plan_cost_model(cp, mode), cp, "pallas"))
+    return out
+
+
 def compile_circuit(circ: Circuit, window=7, pair: bool = True,
                     partition: str = "pallas") -> Plan:
     """Compile to a window-fused plan.
 
-    ``window="auto"`` compiles candidate widths 4..7 for both engines
-    and keeps the plan the measurement-calibrated cost models rank
-    fastest for the current kernel dot mode.  ``partition="dot"`` aligns
-    window boundaries to the dot engine's pinned (8, 128) tail blocks.
+    ``window="auto"`` ranks the candidates of :func:`auto_candidates`
+    (both engines, measurement-calibrated cost models, current kernel
+    dot mode) and keeps the fastest.  ``partition="dot"`` aligns window
+    boundaries to the in-place dot engine's tiling-legal positions
+    (window ends at <= n-10, n-7, or n).
     """
     if window == "auto":
-        from qbot_tpu.tpu.kernels import _use_pallas, dot_mode
-
-        mode = dot_mode()
-        # Rank both engines on their calibrated models; without Pallas
-        # (kernel mode "off" / non-TPU backend) only the dot engine and
-        # its XLA fallback are available.
-        engines = [("dot", dot_cost_model)]
-        if _use_pallas():
-            engines.append(("pallas", plan_cost_model))
-        best = None
-        for w_try in range(4, 9):
-            for eng, model in engines:
-                if eng == "pallas" and w_try > 7:
-                    continue          # pallas kernels cap at 128x128
-                cand = compile_circuit(
-                    circ, w_try, pair,
-                    partition="dot" if eng == "dot" else "pallas")
-                cost = model(cand, mode)
-                if best is None or cost < best[0]:
-                    best = (cost, cand, eng)
+        best = min(auto_candidates(circ, pair), key=lambda t: t[0])
         _, plan, eng = best
         if eng == "dot":
             from qbot_tpu.tpu.dotplan import lower_dot_plan
 
             if lower_dot_plan(plan) is not None:
                 plan.engine = "dot"
-            elif _use_pallas():
+            else:
+                # the dot ranking won but the plan does not lower: the
+                # dot-partition bounds were ranked for an engine that
+                # will not run, so re-rank on the pallas partition —
+                # with Pallas that is the real executor, and without it
+                # the XLA fallback still costs per-pass, so fewer/wider
+                # pallas-partition windows win
                 return compile_circuit(circ, "auto_pallas", pair)
         return plan
     if window == "auto_pallas":       # internal: pallas-only re-rank
@@ -440,17 +464,25 @@ def compile_circuit(circ: Circuit, window=7, pair: bool = True,
     # ``w`` < 7 trades more HBM passes for fewer MXU FLOPs (fused window
     # matrices are 2^w square), which wins when layers are gate-sparse.
     #
-    # ``partition="dot"`` (n >= 14): boundaries also at n-10 and n-7, so
-    # the dot engine's pinned (8, 128) tail blocks are their own windows
-    # — every intermediate layout then keeps the same last-two dims and
-    # leading-dim re-splits are bitcasts (docs/perf.md; measured 1.8×).
+    # ``partition="dot"`` (n >= 14): every window end must be a
+    # tiling-legal in-place position for the dot engine (<= n-10, n-7,
+    # or n; dotplan.window_spec) — a 6-qubit "sub" window at [n-13, n-7)
+    # and the 7-qubit lane window at [n-7, n), with the front split into
+    # ``w``-chunks remainder-LAST.  At 26 qubits this puts the brickwork
+    # boundaries at 7/13/19 — all odd, so alternating-layer entanglers
+    # straddle windows in only half the layers and (with support-based
+    # lazy flushing below) windows flush every other layer.
     LANE_LOG2 = 7
     if partition == "dot" and n >= 14:
-        front = n - 10
-        rem = front % w
-        bounds = ([(0, rem)] if rem else []) + [
-            (rem + i * w, w) for i in range(front // w)]
-        bounds += [(n - 10, 3), (n - 7, 7)]
+        sub = 6
+        front = n - sub - LANE_LOG2
+        bounds = []
+        q = 0
+        while q < front:
+            width = min(w, front - q)
+            bounds.append((q, width))
+            q += width
+        bounds += [(front, sub), (front + sub, LANE_LOG2)]
     else:
         last_w = min(n, LANE_LOG2)
         front = n - last_w
@@ -469,15 +501,30 @@ def compile_circuit(circ: Circuit, window=7, pair: bool = True,
     plan = Plan(n=n, window=w, num_params=circ.num_params,
                 gate_count=circ.gate_count)
     pending: dict[int, list[Term]] = {}
+    pending_support: dict[int, set[int]] = {}
+
+    def fold(gi: int, qubits, term: Term) -> None:
+        pending.setdefault(gi, []).append(term)
+        pending_support.setdefault(gi, set()).update(qubits)
 
     def flush(gi: int) -> None:
         terms = pending.pop(gi, None)
+        pending_support.pop(gi, None)
         if terms:
             plan.steps.append(WindowStep(group_start(gi), group_width(gi),
                                          tuple(terms)))
 
     def flush_overlapping(qubits) -> None:
-        for gi in sorted({group_of[q] for q in qubits}):
+        # support-based LAZY flushing: a window must flush before a
+        # spanning step only if its PENDING terms share support with the
+        # step (disjoint supports commute, so untouched pendings slide
+        # past and keep accumulating — e.g. alternating-layer brickwork
+        # entanglers then flush each window once per two layers, not
+        # once per layer).  Later folds into a surviving pending are
+        # emitted after the spanning step, which is their program order.
+        qs = set(qubits)
+        for gi in sorted(g for g, sup in list(pending_support.items())
+                         if sup & qs):
             flush(gi)
 
     from collections import deque
@@ -498,9 +545,9 @@ def compile_circuit(circ: Circuit, window=7, pair: bool = True,
             if len(gis) == 1:
                 gi = next(iter(gis))
                 start = group_start(gi)
-                pending.setdefault(gi, []).append(
-                    Term(tuple(q - start for q in targets),
-                         np.diag(op.matrix).astype(np.complex128)))
+                fold(gi, targets,
+                     Term(tuple(q - start for q in targets),
+                          np.diag(op.matrix).astype(np.complex128)))
             else:
                 d = np.asarray(op.matrix, np.complex128)
                 flush_overlapping(targets)
@@ -540,8 +587,7 @@ def compile_circuit(circ: Circuit, window=7, pair: bool = True,
             if len(gis) == 1:
                 gi = next(iter(gis))
                 start = group_start(gi)
-                pending.setdefault(gi, []).append(
-                    Term(tuple(q - start for q in qubits), mat))
+                fold(gi, qubits, Term(tuple(q - start for q in qubits), mat))
             else:
                 flush_overlapping(qubits)
                 plan.steps.append(ContractStep(qubits, mat))
@@ -549,9 +595,9 @@ def compile_circuit(circ: Circuit, window=7, pair: bool = True,
             if len(gis) == 1:
                 gi = next(iter(gis))
                 start = group_start(gi)
-                pending.setdefault(gi, []).append(
-                    Term(tuple(q - start for q in qubits), None,
-                         op.param_idx, op.maker, len(op.controls)))
+                fold(gi, qubits,
+                     Term(tuple(q - start for q in qubits), None,
+                          op.param_idx, op.maker, len(op.controls)))
             else:
                 flush_overlapping(qubits)
                 plan.steps.append(ContractStep(qubits, None, op.param_idx,

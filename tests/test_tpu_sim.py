@@ -257,14 +257,13 @@ class TestAutoWindow:
                 c.gate(X, [q + 1], controls=[q])
 
         auto = compile_circuit(c, window="auto")
-        from qbot_tpu.tpu.compiler import dot_cost_model
-        costs = {(w, eng): model(compile_circuit(c, w))
-                 for w in range(4, 8)
-                 for eng, model in (("pallas", plan_cost_model),
-                                    ("dot", dot_cost_model))}
+        # mirror the auto search EXACTLY (ADVICE r3): same widths, same
+        # per-engine partitions, via the search's own candidate list
+        from qbot_tpu.tpu.compiler import auto_candidates, dot_cost_model
+        costs = [cost for cost, _, _ in auto_candidates(c)]
         chosen_model = (dot_cost_model if auto.engine == "dot"
                         else plan_cost_model)
-        assert np.isclose(chosen_model(auto), min(costs.values()))
+        assert np.isclose(chosen_model(auto), min(costs))
         # numerics identical to the fixed-window plan
         psi_a = apply_plan_planar(zero_state_planar(n), auto)
         psi_7 = apply_plan_planar(zero_state_planar(n),
