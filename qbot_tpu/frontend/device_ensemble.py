@@ -13,12 +13,14 @@ conditional) fan out on the device particle axis instead of mixing a dense
 ρ (reference fan-out: /root/reference/qbot/probVal.py:347-390 through
 operators.py:308).
 
-Supported surface: everything the host ensemble runner supports except
-targeted ``qset`` (replace-subset needs the dense engine).  ``meas``/``disc``
-fan or sample device particles exactly like the lowered mid-measurement
-path; a final merge mixes each branch's ensemble to a density matrix and
-reuses the host runner's namespace merge, so ``executeTxtEnsemble`` and
-this runner return THE SAME merged namespace (differentially tested).
+Supported surface: everything the host ensemble runner supports,
+including targeted ``qset`` (replace-subset — reference
+``replaceArbitrary``, operators.py:133-166 — as a per-particle partial
+trace + tensor insert; exact fan-out mode).  ``meas``/``disc`` fan or
+sample device particles exactly like the lowered mid-measurement path; a
+final merge mixes each branch's ensemble to a density matrix and reuses
+the host runner's namespace merge, so ``executeTxtEnsemble`` and this
+runner return THE SAME merged namespace (differentially tested).
 """
 from __future__ import annotations
 
@@ -148,6 +150,13 @@ class _Engine:
 
     def peek(self, qreg, n, targets):
         return self.ee.peek_probs(qreg, n, targets)
+
+    def replace(self, qreg, n, targets, new_states):
+        """Targeted qset (reference ``replaceArbitrary`` semantics):
+        partial-trace the targets out per particle and tensor the new
+        state's eigen-branches back in at the same positions."""
+        return self.ee.replace_fanout(qreg, n, list(targets), new_states,
+                                      self.max_particles)
 
     # -- branch bookkeeping -------------------------------------------------
     def concat(self, weighted):
@@ -391,6 +400,21 @@ class _ShardedEngine(_Engine):
             qreg, n, local, self.emesh, shard_positions=shard_pos,
             q_sharded=self.q_ok(n)))
 
+    def replace(self, qreg, n, targets, new_states):
+        """Targeted qset on the mesh: localize, replace shard-locally
+        (perm unchanged), restore the canonical layout."""
+        q_s = self.q_ok(n)
+        keff = self._keff(n)
+        qreg, perm = self._localized(qreg, n, sorted(targets))
+        pos = [0] * n
+        for p, q in enumerate(perm):
+            pos[q] = p
+        local = [pos[q] - keff for q in targets]      # order preserved
+        qreg = self.se.replace_fanout_sharded(
+            qreg, n, local, new_states, self.emesh, self.max_particles,
+            q_sharded=q_s)
+        return self._restore(qreg, n, perm)
+
     # -- branch bookkeeping -------------------------------------------------
     def concat(self, weighted):
         n = int_log2(weighted[0][1].psi.shape[-1])
@@ -447,10 +471,49 @@ def _exec_quantum(engine: _Engine, particle: _DeviceParticle, lines,
 
     if op_name == "qset":
         if len(tokens) > 2:
-            raise err.QbotScriptError(err.format_script_error(
-                lines, line_num, "DeviceEnsembleError",
-                "targeted qset needs the dense engine - run without "
-                "--compile"), line_num, "DeviceEnsembleError")
+            # TARGETED qset: replace a qubit subset in place (reference
+            # replaceArbitrary, operators.py:133-166) — per-particle
+            # partial trace + tensor insert on the device ensemble
+            if particle.qreg is None:
+                raise err.QbotScriptError(err.format_script_error(
+                    lines, line_num, "DeviceEnsembleError",
+                    "targeted qset before the register exists"),
+                    line_num, "DeviceEnsembleError")
+            if engine.sample:
+                raise err.QbotScriptError(err.format_script_error(
+                    lines, line_num, "DeviceEnsembleError",
+                    "targeted qset is not supported in sampling mode - "
+                    "run the exact fan-out (no --smc) or the dense "
+                    "interpreter"), line_num, "DeviceEnsembleError")
+            from qbot_tpu.frontend.lowering import _new_state_branches
+
+            val = evaluate_expr(lines, line_num, tokens[1], ns)
+            tgts = evaluate_expr(lines, line_num, tokens[2], ns)
+            n = particle.n
+
+            def tlist(tv):
+                tl = [int(q) for q in ops._ensure_container(
+                    lines, line_num, tv)]
+                for q in tl:
+                    if q < 0 or q >= n:
+                        raise err.index_error(lines, line_num, "target",
+                                              q, n - 1)
+                return tl
+
+            if isinstance(tgts, ProbVal):
+                parts = []
+                for p, tv in zip(tgts.probs, tgts.values):
+                    tl = tlist(tv)
+                    nb = _new_state_branches(lines, line_num, val, len(tl))
+                    parts.append((float(p),
+                                  engine.replace(particle.qreg, n, tl, nb)))
+                particle.qreg = engine.concat(parts)
+            else:
+                tl = tlist(tgts)
+                nb = _new_state_branches(lines, line_num, val, len(tl))
+                particle.qreg = engine.replace(particle.qreg, n, tl, nb)
+            ns["__updated_state"] = True
+            return
         val = evaluate_expr(lines, line_num, tokens[1], ns)
         rho = _to_density_host(lines, line_num, val)
         particle.n = int_log2(rho.shape[0])

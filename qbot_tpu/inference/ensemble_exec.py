@@ -333,6 +333,61 @@ def measure_sample(key: jax.Array, ens: QuantumEnsemble, n: int,
     return QuantumEnsemble(log_w, psi, ens.lost_mass), dist, outcomes
 
 
+def _insert_block(phi_planar, rest, n: int, targets: Sequence[int]):
+    """Tensor a 2^t planar ket into positions ``targets`` of an
+    (n−t)-qubit planar ``rest`` — ``phi``'s qubit j lands on
+    ``targets[j]`` (reference ``replaceArbitrary`` order, generalised to
+    unsorted target lists like :func:`qbot_tpu.ops.core.replace_qubits`).
+    """
+    t = len(targets)
+    pr, pi = phi_planar[0], phi_planar[1]
+    rr, ri = rest[0], rest[1]
+    out_r = pr[:, None] * rr[None, :] - pi[:, None] * ri[None, :]
+    out_i = pr[:, None] * ri[None, :] + pi[:, None] * rr[None, :]
+    o = jnp.stack([out_r, out_i]).reshape((2,) + (2,) * n)
+    o = jnp.moveaxis(o, list(range(1, 1 + t)),
+                     [1 + q for q in targets])
+    return o.reshape(2, -1)
+
+
+def replace_fanout(ens: QuantumEnsemble, n: int, targets: Sequence[int],
+                   new_states, max_particles: int = MAX_PARTICLES
+                   ) -> QuantumEnsemble:
+    """Targeted ``qset`` at scale: replace the ``targets`` qubits with a
+    new state (reference semantics: /root/reference/qbot/operators.py:
+    133-166 via density.replaceArbitrary, density.py:194-216).
+
+    On the pure-state particle ensemble this is a partial trace plus a
+    tensor insertion: each particle fans out over the traced subsystem's
+    basis states (exactly :func:`discard_fanout`) and each fan branch is
+    tensored with each eigen-branch of the new state at the SAME qubit
+    positions — Σ w p_k v_b |χ_b ⊗ φ_k⟩ equals ``replaceArbitrary`` of
+    the pre-replace mixture exactly (up to the tracked prune).  The
+    register width is unchanged.
+
+    ``new_states``: ((weight, planar_ket 2×2^t), …) — the eigen-ensemble
+    of the new state (a pure new state is a single branch).
+    """
+    B = ens.num_particles
+    sorted_t = sorted(targets)
+    K = 2 ** len(targets)
+    p_all, states = jax.vmap(
+        lambda s: _discard_split(s, n, sorted_t))(ens.psi)
+    logp = jnp.log(jnp.clip(p_all, _MIN_P))       # (B, K)
+    parts_w, parts_psi = [], []
+    for wb, phi in new_states:
+        ins = jax.vmap(jax.vmap(
+            lambda s: _insert_block(jnp.asarray(phi, ens.psi.dtype), s,
+                                    n, list(targets))))(states)
+        parts_psi.append(ins.reshape((B * K, 2, -1)))
+        parts_w.append((ens.log_w[:, None] + logp
+                        + float(np.log(wb))).reshape(B * K))
+    log_w = jnp.concatenate(parts_w)
+    psi = jnp.concatenate(parts_psi)
+    log_w, psi, lost = _prune(log_w, psi, max_particles, ens.lost_mass)
+    return QuantumEnsemble(log_w, psi, lost)
+
+
 def concat_weighted(weighted, max_particles: int = MAX_PARTICLES
                     ) -> QuantumEnsemble:
     """Weight-concatenate [(p, QuantumEnsemble)] into one pruned ensemble.

