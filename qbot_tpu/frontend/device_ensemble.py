@@ -650,13 +650,25 @@ def _exec_quantum(engine: _Engine, particle: _DeviceParticle, lines,
             lines, line_num,
             evaluate_expr(lines, line_num, tokens[3], ns))))
     ops._check_targets_in_range(lines, line_num, targets, n)
+    # lazy dense-field provider: the pre-measurement mixture, gathered on
+    # first .newState/.basisDensity access (clear error at large n)
+    from qbot_tpu.frontend.lowering import (
+        _DENSE_REPLAY_LIMIT,
+        _too_large_provider,
+    )
+
+    if n <= _DENSE_REPLAY_LIMIT:
+        provider = (lambda q=particle.qreg, e=engine: e.mixture(q))
+    else:
+        provider = _too_large_provider(n)
     qreg = engine.rotate(particle.qreg, n, basis, targets)
     if op_name == "meas":
         qreg, dist = engine.measure(qreg, n, targets)
         particle.qreg = engine.rotate(qreg, n, basis, targets, inverse=True)
     else:
         dist = engine.peek(qreg, n, targets)
-    ns[name] = _make_result(basis, targets, np.asarray(dist))
+    ns[name] = _make_result(basis, targets, np.asarray(dist),
+                            provider=provider)
 
 
 def _step_device_particle(engine: _Engine, particle: _DeviceParticle,

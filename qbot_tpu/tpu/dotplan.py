@@ -117,37 +117,87 @@ class DotPlan:
     n: int
     num_params: int
     steps: list
+    tail: tuple = ()                  # pinned (front, sub, lane) split
     # the in-place engine never permutes the layout; both fields stay
     # identity (kept for executor/runner API compatibility)
     entry_perm: tuple[int, ...] = ()
     final_perm: tuple[int, ...] = ()
 
 
-def window_spec(n: int, p: int, w: int):
-    """(view, spec) for an in-place contraction of window [p, p+w).
+def plan_tail_split(plan: Plan):
+    """(front, sub, lane) qubit counts for the plan's pinned tail.
 
-    Returns None when the window's trailing gap would leave a view with
-    a sub-(8, 128) tail (the minor-dim padding hazard) at n >= 14.
+    Every view in a lowered plan keeps the SAME literal trailing
+    (2^sub, 2^lane) dims — measured (diag_engine4): views that merely
+    stay tile-compatible but change their trailing SIZES between passes
+    cost ~1 ms/pass in relayouts; literally identical trailing dims are
+    bitcasts.  The sub width is read off the window that ends at
+    ``n - lane`` (the partition's sub window); a plan with no tail
+    windows uses sub = 3.  Returns None when the plan's windows cannot
+    share one tail split.
+    """
+    n = plan.n
+    if n <= 13:                       # small states use flat views; the
+        return _tail_split(n)         # split only carries the phase masks
+    lane = _LANE_LOG2
+    subs = set()
+    for s in expand_pairs(plan.steps):
+        if isinstance(s, WindowStep):
+            b = s.start + s.width
+            if b == n - lane:
+                subs.add(s.width)
+            elif b == n and s.width != lane:
+                return None           # lane window must be exactly 7q
+    if len(subs) > 1:
+        return None
+    sub = subs.pop() if subs else min(_SUB_LOG2, n - lane)
+    return n - sub - lane, sub, lane
+
+
+def window_spec(n: int, p: int, w: int, tail):
+    """(view, spec) for an in-place contraction of window [p, p+w) under
+    the plan's pinned (front, sub, lane) tail split.
+
+    Front windows carry the (2^sub, 2^lane) tail as passthrough axes;
+    the sub window contracts the sub axis in place; the lane window the
+    lane axis.  Size-1 leading axes are dropped from the spec (a
+    degenerate batch dim measured ~0.16 ms/pass of overhead).  Returns
+    None when the window straddles a tail boundary.
     """
     b = p + w
     A, D = 2 ** p, 2 ** w
     if n <= 13:                       # small states: padding is noise
         return ((2, A, D, 2 ** (n - b)), "xicj,cajb->xaib")
-    if b == n:
-        if w < _LANE_LOG2:
-            return None               # minor dim 2^w < 128
-        return ((2, A, D), "xicj,caj->xai")
-    if b == n - _LANE_LOG2:
-        return ((2, A, D, 2 ** _LANE_LOG2), "xicj,cajl->xail")
-    if b <= n - _LANE_LOG2 - 3:
-        B1 = 2 ** (n - b - _LANE_LOG2)
-        return ((2, A, D, B1, 2 ** _LANE_LOG2), "xicj,cajbl->xaibl")
-    return None                       # trailing gap of 1-2 qubits
+    front, sub, lane = tail
+    S, L = 2 ** sub, 2 ** lane
+    if b <= front:                    # front window
+        B1 = 2 ** (front - b)
+        rhs, out, view = "c", "x", [2]
+        if A > 1:
+            rhs += "a"
+            out += "a"
+            view.append(A)
+        rhs += "j"
+        out += "i"
+        view.append(D)
+        if B1 > 1:
+            rhs += "b"
+            out += "b"
+            view.append(B1)
+        rhs += "sl"
+        out += "sl"
+        view += [S, L]
+        return (tuple(view), f"xicj,{rhs}->{out}")
+    if p == front and w == sub:       # sub window
+        return ((2, 2 ** front, S, L), "xicj,cfjl->xfil")
+    if p == front + sub and w == lane:  # lane window
+        return ((2, 2 ** front, S, L), "xicj,cfsj->xfsi")
+    return None                       # straddles a tail boundary
 
 
-def _phase_vectors(phase, n: int):
+def _phase_vectors(phase, n: int, tail):
     """Phase factor as host-precomputed per-axis 0/1 mask vectors over the
-    fixed (front, 8, 128) carrier.
+    plan's pinned (front, sub, lane) carrier.
 
     The mask (1 where every listed bit matches its wanted value)
     factorises per qubit, so it splits across the three carrier axes as
@@ -162,7 +212,7 @@ def _phase_vectors(phase, n: int):
         z = complex(z.real, 0.0)
     pattern = phase[2] if len(phase) > 2 else -1
     k = len(qubits)
-    front, sub, lane = _tail_split(n)
+    front, sub, lane = tail
     sizes = (2 ** front, 2 ** sub, 2 ** lane)
     vecs = [np.ones(sz, dtype=np.float32) for sz in sizes]
     spans = ((0, front), (front, front + sub), (front + sub, n))
@@ -195,16 +245,20 @@ def lower_dot_plan(plan: Plan, cycle: bool = True) -> Optional[DotPlan]:
     n = plan.n
     if n < 1:
         return None
+    tail = plan_tail_split(plan)
+    if tail is None:
+        return None
     lowered: list = []
     saw_window = False
     for s in expand_pairs(plan.steps):
         if isinstance(s, WindowStep):
-            sv = window_spec(n, s.start, s.width)
+            sv = window_spec(n, s.start, s.width, tail)
             if sv is None:
                 return None
             view, spec = sv
             flips = tuple(int(m) for m in s.pre_flips)
-            phases = tuple(_phase_vectors(ph, n) for ph in s.pre_phases)
+            phases = tuple(_phase_vectors(ph, n, tail)
+                           for ph in s.pre_phases)
             lowered.append(_Win(s, view, spec, flips, phases))
             saw_window = True
         elif isinstance(s, FlipStep):
@@ -229,7 +283,7 @@ def lower_dot_plan(plan: Plan, cycle: bool = True) -> Optional[DotPlan]:
                 t = sorted(s.targets)
                 if (list(s.targets) == t
                         and t == list(range(t[0], t[0] + len(t)))):
-                    sv = window_spec(n, t[0], len(t))
+                    sv = window_spec(n, t[0], len(t), tail)
                     if sv is None:
                         return None
                     view, spec = sv
@@ -248,7 +302,8 @@ def lower_dot_plan(plan: Plan, cycle: bool = True) -> Optional[DotPlan]:
     if not saw_window and not lowered:
         return None
     return DotPlan(n=n, num_params=plan.num_params, steps=lowered,
-                   entry_perm=tuple(range(n)), final_perm=tuple(range(n)))
+                   tail=tail, entry_perm=tuple(range(n)),
+                   final_perm=tuple(range(n)))
 
 
 def _realify(Wr, Wi):
@@ -257,16 +312,17 @@ def _realify(Wr, Wi):
                       jnp.stack([Wi, Wr], axis=1)], axis=0)
 
 
-def _apply_phases_masked(psi, n, phases):
+def _apply_phases_masked(psi, n, phases, tail):
     """Controlled-phase factors as broadcast constant mask vectors.
 
-    The state views as the fixed (2, F, 8, 128) carrier — the last two
-    dims never change, so no relayout — and each factor's mask is an
-    outer product of three host-precomputed 0/1 vectors.  A REAL phase
-    (CZ and friends) reduces to one fused multiply of the whole state
-    (~0.6 ms at 26q); complex phases pay the full planar rotation.
+    The state views as the plan's pinned (2, F, S, L) carrier — the
+    same literal trailing dims as every window pass, so no relayout —
+    and each factor's mask is an outer product of three host-precomputed
+    0/1 vectors.  A REAL phase (CZ and friends) reduces to one fused
+    multiply of the whole state (~0.6 ms at 26q); complex phases pay the
+    full planar rotation.
     """
-    front, sub, lane = _tail_split(n)
+    front, sub, lane = tail
     F, S, L = 2 ** front, 2 ** sub, 2 ** lane
     t = psi.reshape(2, F, S, L)
     for mf, ms, ml, z in phases:
@@ -283,9 +339,34 @@ def _apply_phases_masked(psi, n, phases):
     return t.reshape(2, -1)
 
 
-def apply_plan_dot(psi: jnp.ndarray, lowered: DotPlan,
-                   params=None) -> jnp.ndarray:
-    """Run a lowered dot plan over a planar (2, 2^n) state (traceable)."""
+def carrier_shape(lowered: DotPlan) -> tuple[int, ...]:
+    """The pinned (2, F, S, L) shape a lowered plan computes in.
+
+    The flat (2, 2^n) planar shape tiles its size-2 second-minor dim to
+    8 (4× padding); carrying the pinned 4-D shape through ``lax.scan``
+    instead measured ~0.5 ms/pass faster (diag_engine lineage).
+    """
+    n = lowered.n
+    if n <= 13:
+        return (2, 2 ** n)
+    front, sub, lane = lowered.tail
+    return (2, 2 ** front, 2 ** sub, 2 ** lane)
+
+
+def _flip_coords(index: int, tail):
+    front, sub, lane = tail
+    return (index >> (sub + lane), (index >> lane) & (2 ** sub - 1),
+            index & (2 ** lane - 1))
+
+
+def apply_plan_dot(psi: jnp.ndarray, lowered: DotPlan, params=None,
+                   carrier: bool = False) -> jnp.ndarray:
+    """Run a lowered dot plan over a planar (2, 2^n) state (traceable).
+
+    ``carrier=True``: ``psi`` is (and stays) in :func:`carrier_shape`
+    form — used by the scanned runner so the loop carry never takes the
+    padded flat layout.
+    """
     from qbot_tpu.tpu.planar import (
         _apply_contract_planar,
         _apply_reflect_planar,
@@ -295,30 +376,42 @@ def apply_plan_dot(psi: jnp.ndarray, lowered: DotPlan,
     n = lowered.n
     prec = dot_precision()
     shape = psi.shape
+    cshape = carrier_shape(lowered)
+    small = n <= 13
+
+    def flip(psi, m):
+        if small:
+            return psi.at[:, m].multiply(-1)
+        f, sb, ln = _flip_coords(m, lowered.tail)
+        return psi.reshape(cshape).at[:, f, sb, ln].multiply(-1)
+
+    psi = psi.reshape(cshape)
     for s in lowered.steps:
         if isinstance(s, _Win):
             for m in s.flips:
-                psi = psi.at[:, m].multiply(-1)
+                psi = flip(psi, m)
             if s.phases:
-                psi = _apply_phases_masked(psi, n, s.phases)
+                psi = _apply_phases_masked(psi, n, s.phases, lowered.tail)
             Wr, Wi = _fold_planar_pair(s.step, params, psi.dtype)
             M = _realify(Wr, Wi)
             out = jnp.einsum(s.spec, M, psi.reshape(s.view),
                              precision=prec)
-            psi = out.reshape(shape)
+            psi = out.reshape(cshape)
         elif isinstance(s, _Diag):
             t = psi.reshape(s.view)
             pr, pi = t[0], t[1]
             out_r = s.dr * pr - s.di * pi
             out_i = s.dr * pi + s.di * pr
-            psi = jnp.stack([out_r, out_i]).reshape(shape)
+            psi = jnp.stack([out_r, out_i]).reshape(cshape)
         elif isinstance(s, _Flip):
-            psi = psi.at[:, s.index].multiply(-1)
+            psi = flip(psi, s.index)
         elif isinstance(s, _Reflect):
-            psi = _apply_reflect_planar(psi, n, s.step)
+            psi = _apply_reflect_planar(psi.reshape(2, -1), n,
+                                        s.step).reshape(cshape)
         else:                          # _Contract
-            psi = _apply_contract_planar(psi, n, s.step, params)
-    return psi
+            psi = _apply_contract_planar(psi.reshape(2, -1), n, s.step,
+                                         params).reshape(cshape)
+    return psi if carrier else psi.reshape(shape)
 
 
 def make_scanned_dot_runner(plan: Plan, repeats: int, init_plan=None):
@@ -337,6 +430,7 @@ def make_scanned_dot_runner(plan: Plan, repeats: int, init_plan=None):
 
     @jax.jit
     def run(psi, params=None):
+        shape = psi.shape
         if init_plan is not None:
             if init_lowered is not None:
                 psi = apply_plan_dot(psi, init_lowered, params)
@@ -344,9 +438,14 @@ def make_scanned_dot_runner(plan: Plan, repeats: int, init_plan=None):
                 from qbot_tpu.tpu.planar import apply_plan_planar
                 psi = apply_plan_planar(psi, init_plan, params)
 
+        # carry the pinned 4-D carrier shape (the flat planar shape
+        # pads its size-2 second-minor dim 4x in the tiled layout)
+        psi = psi.reshape(carrier_shape(lowered))
+
         def step(carry, _):
-            return apply_plan_dot(carry, lowered, params), None
+            return apply_plan_dot(carry, lowered, params,
+                                  carrier=True), None
 
         psi, _ = jax.lax.scan(step, psi, None, length=repeats)
-        return psi
+        return psi.reshape(shape)
     return run

@@ -37,9 +37,21 @@ from qbot_tpu.tpu.circuit import Circuit, CircuitOp
 from qbot_tpu.tpu.compiler import Plan, compile_circuit
 
 try:                                     # jax >= 0.8 public API
-    from jax import shard_map as _shard_map
+    from jax import shard_map as _raw_shard_map
 except ImportError:                      # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map as _shard_map
+    from jax.experimental.shard_map import shard_map as _raw_shard_map
+
+
+def _shard_map(f, *, mesh, in_specs, out_specs):
+    """shard_map with the varying-manual-axes check relaxed: pallas_call
+    (and other primitives without vma rules) trace inside the mapped body
+    on real TPU backends only when check_vma is off."""
+    try:
+        return _raw_shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=False)
+    except TypeError:                    # pragma: no cover - older jax
+        return _raw_shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs)
 
 __all__ = ["ShardedPlan", "compile_sharded", "make_sharded_planar_runner",
            "sharded_zero_state", "sharded_probs_fn", "unpermute_planar",
@@ -676,7 +688,18 @@ def make_sharded_planar_runner(splan: ShardedPlan, mesh: Mesh,
         # psi: local planar (2, 2^(n-k))
         for item in splan.items:
             if isinstance(item, LocalSegment):
-                psi = apply_plan_planar(psi, item.plan, params)
+                # no Pallas inside shard_map: Mosaic kernels do not
+                # lower under manual sharding on the TPU backend, and
+                # the in-place dot/XLA paths are faster anyway (round-4
+                # measurements); mode is restored after tracing
+                from qbot_tpu.tpu import kernels as _k
+
+                _prev = _k.kernel_mode()
+                _k.set_kernel_mode("off")
+                try:
+                    psi = apply_plan_planar(psi, item.plan, params)
+                finally:
+                    _k.set_kernel_mode(_prev)
             elif isinstance(item, ShardedReflect):
                 psi = apply_sharded_reflect(psi, item)
             elif isinstance(item, ShardedFlip):

@@ -175,8 +175,17 @@ def _apply_items_batched(psi, params, splan: ShardedPlan, q_axis: str):
 
     for item in splan.items:
         if isinstance(item, LocalSegment):
-            psi = jax.vmap(
-                lambda p: apply_plan_planar(p, item.plan, params))(psi)
+            # no Pallas inside shard_map (see tpu/sharded.py note); the
+            # dot/XLA paths serve local segments on every backend
+            from qbot_tpu.tpu import kernels as _k
+
+            _prev = _k.kernel_mode()
+            _k.set_kernel_mode("off")
+            try:
+                psi = jax.vmap(
+                    lambda p: apply_plan_planar(p, item.plan, params))(psi)
+            finally:
+                _k.set_kernel_mode(_prev)
         elif isinstance(item, ShardedFlip):
             here = jax.lax.axis_index(q_axis) == item.owner
             sign = jnp.where(here, -1.0, 1.0).astype(psi.dtype)

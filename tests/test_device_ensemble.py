@@ -327,3 +327,37 @@ class TestLostMassTracking:
         res, _ = execute_lines_device_ensemble(self.SRC.splitlines(),
                                                max_particles=4096)
         assert res.lost_mass == 0.0
+
+
+class TestDeviceTargetedQset:
+    """Targeted qset on the device-ensemble runner (reference
+    replaceArbitrary) must match the host ensemble runner."""
+
+    def test_targeted_qset_matches_host(self):
+        src = ("qset tensorProd(comp[0], comp[0], comp[0])\n"
+               "gate hadamardGate ; 0\n"
+               "gate pauliXGate ; 2 ; [0]\n"
+               "qset hadamard.kets[1] ; [0]\n"
+               "meas m ; computation")
+        host, dev = _both(src)
+        _assert_state_close(host, dev)
+        np.testing.assert_allclose(dev["m"].probs, host["m"].probs,
+                                   atol=1e-6)
+
+    def test_probval_targets_match_host(self):
+        src = ("qset tensorProd(comp[0], comp[0], comp[0])\n"
+               "gate hadamardGate ; 1\n"
+               "qset comp[1] ; ProbVal([0.5, 0.5], [[0], [2]])\n"
+               "meas m ; computation")
+        host, dev = _both(src)
+        _assert_state_close(host, dev)
+
+    def test_sample_mode_renders_clear_error(self):
+        import qbot_tpu.errors as err
+
+        src = ("qset tensorProd(comp[0], comp[0])\n"
+               "qset comp[1] ; [0]\n"
+               "meas m ; computation")
+        with pytest.raises(err.QbotScriptError,
+                           match="targeted qset"):
+            executeTxtDeviceEnsemble(src, sample=16)
