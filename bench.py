@@ -122,6 +122,20 @@ def _brickwork(n: int, layers: int, seed: int = 0):
     return c
 
 
+def _engine_passes(plan) -> int:
+    """Passes as the selected engine executes them (the dot engine
+    applies PairStep windows singly; flips are scatters, not passes)."""
+    from qbot_tpu.tpu.compiler import FlipStep, ReflectStep, expand_pairs
+
+    total = 0
+    for s in expand_pairs(plan.steps):
+        if isinstance(s, ReflectStep):
+            total += 2
+        elif not isinstance(s, FlipStep):
+            total += 1
+    return total
+
+
 def tpu_general() -> dict:
     import jax.numpy as jnp
 
@@ -199,7 +213,7 @@ def tpu_general() -> dict:
         "general_engine": plan.engine,
         "general_layers": GENERAL_LAYERS,
         "general_repeats": GENERAL_REPEATS,
-        "general_hbm_passes_per_body": plan.num_passes,
+        "general_hbm_passes_per_body": _engine_passes(plan),
         "general_compile_seconds": round(results["compile_on"], 2),
         "general_compile_cache_evidence": probes["on"].verdict(),
         "general_run_seconds": round(results["on"], 4),

@@ -167,9 +167,10 @@ def main(argv=None) -> int:
             with open(path, "r") as f:
                 lp = lower_program(f.read())
             from qbot_tpu.tpu.compiler import compile_circuit
-            plan = compile_circuit(lp.circuit)
+            plan = compile_circuit(lp.circuit, window="auto")
             print(f"lowered: {lp.n} qubits, {lp.circuit.gate_count} gates, "
-                  f"{plan.num_passes} device passes", file=sys.stderr)
+                  f"{plan.num_passes} device passes "
+                  f"({plan.engine} engine)", file=sys.stderr)
             if args.shard:
                 from qbot_tpu.frontend.lowering import run_lowered_sharded
                 mesh = None
@@ -199,7 +200,7 @@ def main(argv=None) -> int:
                       f"{splan.comm_bytes()} interconnect bytes/run",
                       file=sys.stderr)
             else:
-                probs, _ = run_lowered(lp)
+                probs, _ = run_lowered(lp, window="auto")
             # programs with a classical epilogue print their own output
             # (the epilogue ran inside run_lowered with the result bound);
             # otherwise print the outcome table directly

@@ -193,3 +193,54 @@ class TestGradients:
                                        atol=1e-4)
         finally:
             kernels.set_kernel_mode("auto")
+
+
+class TestViewInvariants:
+    """Round-4 layout discipline: every lowered view keeps the plan's
+    LITERAL trailing (2^sub, 2^lane) dims (diag_engine4: views that are
+    merely tile-compatible but change trailing sizes cost ~1 ms/pass in
+    relayouts), and no size-1 axes appear in window specs."""
+
+    def _brick(self, n, layers):
+        rng = np.random.default_rng(0)
+        c = Circuit(n)
+        X = np.array([[0, 1], [1, 0]], dtype=complex)
+        for layer in range(layers):
+            for q in range(n):
+                z = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+                qm, r = np.linalg.qr(z)
+                c.gate(qm * np.conj(r.diagonal() / np.abs(r.diagonal())),
+                       [q])
+            for q in range(layer % 2, n - 1, 2):
+                c.gate(X, [q + 1], controls=[q])
+        return c
+
+    @pytest.mark.parametrize("n,part", [(26, "dot"), (26, "pallas"),
+                                        (20, "dot"), (16, "pallas")])
+    def test_trailing_dims_identical_across_views(self, n, part):
+        from qbot_tpu.tpu.dotplan import _Win, lower_dot_plan
+
+        plan = compile_circuit(self._brick(n, 4), 7, partition=part)
+        low = lower_dot_plan(plan)
+        assert low is not None
+        wins = [s for s in low.steps if isinstance(s, _Win)]
+        assert wins
+        trailing = {tuple(s.view[-2:]) for s in wins}
+        assert len(trailing) == 1, trailing
+        front, sub, lane = low.tail
+        assert trailing == {(2 ** sub, 2 ** lane)}
+        for s in wins:
+            assert 1 not in s.view, s.view
+
+    def test_brickwork_pass_count_is_twelve(self):
+        """The support-based lazy flushing + all-odd dot boundaries keep
+        the 4-layer 26q brickwork at 12 window passes (the round-4
+        schedule diag_hybrid3 validated at 4,449 gates/s)."""
+        from qbot_tpu.tpu.compiler import FlipStep, expand_pairs
+        from qbot_tpu.tpu.dotplan import _Win, lower_dot_plan
+
+        plan = compile_circuit(self._brick(26, 4), 7, partition="dot")
+        low = lower_dot_plan(plan)
+        wins = [s for s in low.steps if isinstance(s, _Win)]
+        assert len(wins) == 12
+        assert sum(len(s.phases) for s in wins) == 6
