@@ -414,6 +414,74 @@ def apply_plan_dot(psi: jnp.ndarray, lowered: DotPlan, params=None,
     return psi if carrier else psi.reshape(shape)
 
 
+def density_plan_2n(plan: Plan) -> Plan:
+    """The 2n-qubit statevector plan computing ``G ρ G†``.
+
+    Viewing planar ρ flat as a 2n-qubit planar "state" (the density
+    executor's convention), each step applies to the ROW axes [0, n)
+    as-is and to the COLUMN axes [n, 2n) conjugated.  Basis-state sign
+    flips become row/column PhaseSteps (pattern-matched −1 factors),
+    which fuse into the following window as mask multiplies.  The
+    resulting plan lowers through the ordinary in-place dot engine, so
+    mixed states inherit the statevector engine's speed — the round-3
+    "density executor could run on the dot engine" lead, wired.
+    """
+    from qbot_tpu.tpu.compiler import (
+        Plan as CPlan,
+        Term,
+        _fuse_phases,
+        expand_phases,
+        expand_reflections,
+    )
+    from qbot_tpu.tpu.planar import _conj_maker
+
+    n = plan.n
+    big = CPlan(n=2 * n, window=plan.window, num_params=plan.num_params,
+                gate_count=plan.gate_count, engine="dot")
+    rows = tuple(range(n))
+    cols = tuple(range(n, 2 * n))
+
+    def flip_phases(index: int):
+        return [PhaseStep(rows, -1.0 + 0.0j, index),
+                PhaseStep(cols, -1.0 + 0.0j, index)]
+
+    def conj_term(t: Term) -> Term:
+        return Term(t.positions,
+                    None if t.matrix is None else np.conj(
+                        np.asarray(t.matrix)),
+                    t.param_idx,
+                    None if t.maker is None else _conj_maker(t.maker),
+                    t.num_controls)
+
+    for step in expand_pairs(expand_phases(expand_reflections(plan.steps))):
+        if isinstance(step, WindowStep):
+            for m in step.pre_flips:
+                big.steps.extend(flip_phases(m))
+            big.steps.append(WindowStep(step.start, step.width, step.terms))
+            big.steps.append(WindowStep(n + step.start, step.width,
+                                        tuple(conj_term(t)
+                                              for t in step.terms)))
+        elif isinstance(step, DiagStep):
+            big.steps.append(step)
+            big.steps.append(DiagStep(tuple(n + q for q in step.targets),
+                                      np.conj(np.asarray(step.diag))))
+        elif isinstance(step, FlipStep):
+            big.steps.extend(flip_phases(step.index))
+        elif isinstance(step, ContractStep):
+            big.steps.append(step)
+            big.steps.append(ContractStep(
+                tuple(n + q for q in step.targets),
+                None if step.matrix is None else np.conj(
+                    np.asarray(step.matrix)),
+                step.param_idx,
+                None if step.maker is None else _conj_maker(step.maker),
+                step.num_controls))
+        else:
+            return None
+    big.steps = _fuse_phases(big.steps)
+    return big
+
+
 def make_scanned_dot_runner(plan: Plan, repeats: int, init_plan=None):
     """jit(psi, params?) -> state after ``repeats`` plan bodies, dot engine.
 

@@ -502,11 +502,29 @@ def _pair_both_sides(flat, n, step: PairStep, W1r, W1i, W2r, W2i):
 
 def apply_plan_density_planar(rho: jnp.ndarray, plan: Plan,
                               params=None) -> jnp.ndarray:
-    """Run a compiled plan over a planar (2, 2^n, 2^n) density matrix."""
+    """Run a compiled plan over a planar (2, 2^n, 2^n) density matrix.
+
+    Honours ``plan.engine == "dot"``: ρ flat is a 2n-qubit planar
+    "state" and the step stream rewrites to a 2n-qubit plan (rows +
+    conjugated columns, :func:`qbot_tpu.tpu.dotplan.density_plan_2n`)
+    that the in-place dot engine executes — mixed states inherit the
+    statevector engine's measured speed.
+    """
     n = plan.n
     d = 2**n
     shape = rho.shape
     flat = rho.reshape(2, -1)
+    if getattr(plan, "engine", "pallas") == "dot":
+        from qbot_tpu.tpu.dotplan import (
+            apply_plan_dot,
+            density_plan_2n,
+            lower_dot_plan,
+        )
+
+        big = density_plan_2n(plan)
+        lowered = None if big is None else lower_dot_plan(big)
+        if lowered is not None:
+            return apply_plan_dot(flat, lowered, params).reshape(shape)
     from qbot_tpu.tpu.compiler import expand_phases, expand_reflections
 
     for step in expand_phases(expand_reflections(plan.steps)):

@@ -244,3 +244,77 @@ class TestViewInvariants:
         wins = [s for s in low.steps if isinstance(s, _Win)]
         assert len(wins) == 12
         assert sum(len(s.phases) for s in wins) == 6
+
+
+class TestDensityDotEngine:
+    """Round-4: mixed states run on the in-place dot engine — the plan
+    rewrites to a 2n-qubit rows+conjugated-columns plan (density_plan_2n)
+    and must match the step-by-step density executor exactly."""
+
+    def _plan_both(self, c, w=4):
+        import jax.numpy as jnp
+
+        from qbot_tpu.tpu.planar import apply_plan_density_planar
+
+        rng = np.random.default_rng(11)
+        n = c.n
+        # random mixed state: convex mix of two pure states
+        k1 = rng.normal(size=2**n) + 1j * rng.normal(size=2**n)
+        k2 = rng.normal(size=2**n) + 1j * rng.normal(size=2**n)
+        k1, k2 = k1 / np.linalg.norm(k1), k2 / np.linalg.norm(k2)
+        rho = 0.6 * np.outer(k1, k1.conj()) + 0.4 * np.outer(k2, k2.conj())
+        rp = jnp.asarray(np.stack([rho.real, rho.imag]).astype(np.float32))
+
+        plan = compile_circuit(c, w)
+        plan.engine = "pallas"
+        ref = apply_plan_density_planar(rp, plan)
+        plan_dot = compile_circuit(c, w)
+        plan_dot.engine = "dot"
+        got = apply_plan_density_planar(rp, plan_dot)
+        return np.asarray(ref), np.asarray(got)
+
+    def test_matches_density_executor(self):
+        rng = np.random.default_rng(5)
+        c = Circuit(6)
+        X = np.array([[0, 1], [1, 0]], dtype=complex)
+        for layer in range(2):
+            for q in range(6):
+                z = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+                qm, r = np.linalg.qr(z)
+                c.gate(qm * np.conj(r.diagonal() / np.abs(r.diagonal())),
+                       [q])
+            for q in range(layer % 2, 5, 2):
+                c.gate(X, [q + 1], controls=[q])
+        ref, got = self._plan_both(c)
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_flip_and_diag_steps(self):
+        c = Circuit(5)
+        for q in range(5):
+            c.h(q)
+        c.phase_flip(13)
+        rng = np.random.default_rng(9)
+        d = np.exp(1j * rng.uniform(0, 2 * np.pi, 4))
+        c.diagonal(d, [0, 4])
+        for q in range(5):
+            c.h(q)
+        ref, got = self._plan_both(c, w=3)
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_large_register_lowers(self):
+        """At 2n >= 14 the pinned-tail machinery engages (the density
+        sizes that actually need the engine)."""
+        from qbot_tpu.tpu.dotplan import density_plan_2n, lower_dot_plan
+
+        rng = np.random.default_rng(2)
+        c = Circuit(8)
+        for q in range(8):
+            z = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+            qm, r = np.linalg.qr(z)
+            c.gate(qm * np.conj(r.diagonal() / np.abs(r.diagonal())), [q])
+        plan = compile_circuit(c, 4)
+        big = density_plan_2n(plan)
+        low = lower_dot_plan(big)
+        assert low is not None
+        ref, got = self._plan_both(c, w=4)
+        np.testing.assert_allclose(got, ref, atol=1e-5)
