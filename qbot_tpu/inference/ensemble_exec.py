@@ -112,6 +112,69 @@ def apply_plan_ensemble(ens: QuantumEnsemble, plan: Plan,
     return QuantumEnsemble(ens.log_w, psi, ens.lost_mass)
 
 
+# --- tiling-safe collapse algebra ------------------------------------------
+#
+# The direct formulations view the state as (2,)*n and moveaxis the
+# target axes, materialising intermediates whose size-2 minor dims pad
+# 64x under the TPU's (8, 128) tiling — a measured 32 GB OOM at 24
+# qubits on real hardware.  Above the small-n regime every split
+# therefore computes through broadcast BIT MASKS whose materialisation
+# points (fusion outputs) carry a (2, F, S, L) shape with trailing dims
+# >= (8, 128):
+#   * outcome probabilities — one grouped-view reduction (reductions
+#     never materialise their operand view);
+#   * collapsed states (measure) — the projector IS a diagonal mask:
+#     psi * mask_k / sqrt(p_k), applied in the original layout;
+#   * sub-block extraction (disc) — sum over target axes of the masked
+#     state;
+#   * block relocation / tensor insertion — broadcast products reshaped
+#     to the carrier at the materialisation point.
+
+_MASK_N_MIN = 14          # below this, (2,)*n views are cheap and exact
+
+
+def _local_tail(n: int):
+    lane = min(n, 7)
+    sub = min(3, n - lane)
+    return n - sub - lane, sub, lane
+
+
+def _carrier(n: int):
+    f, s, l = _local_tail(n)
+    return (2 ** f, 2 ** s, 2 ** l)
+
+
+def _outcome_mask(n: int, targets, k: int):
+    """(F, S, L)-broadcast constant selecting target bits == k (host
+    per-axis 0/1 vectors, outer product assembled in trace)."""
+    f, s, l = _local_tail(n)
+    sizes = (2 ** f, 2 ** s, 2 ** l)
+    spans = ((0, f), (f, f + s), (f + s, n))
+    vecs = [np.ones(sz, np.float32) for sz in sizes]
+    t = len(targets)
+    for i, q in enumerate(targets):
+        want = (k >> (t - 1 - i)) & 1
+        for ax, (lo, hi) in enumerate(spans):
+            if lo <= q < hi:
+                ar = np.arange(sizes[ax])
+                bit = (ar >> (hi - 1 - q)) & 1
+                vecs[ax] *= (bit == want).astype(np.float32)
+                break
+    F, S, L = sizes
+    return (jnp.asarray(vecs[0]).reshape(F, 1, 1)
+            * jnp.asarray(vecs[1]).reshape(1, S, 1)
+            * jnp.asarray(vecs[2]).reshape(1, 1, L))
+
+
+def _probs_by_reduce(psi, n: int, targets):
+    """(K,) outcome probabilities via a grouped-view reduction."""
+    sq = psi[0] ** 2 + psi[1] ** 2
+    v = sq.reshape((2,) * n)
+    other = tuple(a for a in range(n) if a not in set(targets))
+    p = jnp.sum(v, axis=other) if other else v
+    return p.reshape(-1)
+
+
 def _outcome_split(psi, n: int, targets: Sequence[int]):
     """(2, 2^n) → per-outcome probs (K,) and collapsed states (K, 2, 2^n).
 
@@ -121,6 +184,14 @@ def _outcome_split(psi, n: int, targets: Sequence[int]):
     targets = sorted(targets)
     t = len(targets)
     K = 2**t
+    if n >= _MASK_N_MIN and t <= 12:
+        F, S, L = _carrier(n)
+        p = _probs_by_reduce(psi, n, targets)
+        inv = 1.0 / jnp.sqrt(jnp.clip(p, _MIN_P))
+        pv = psi.reshape(2, F, S, L)
+        proj = jnp.stack([pv * (_outcome_mask(n, targets, k) * inv[k])
+                          for k in range(K)])
+        return p, proj.reshape(K, 2, -1)
     pt = psi.reshape((2,) + (2,) * n)
     pt = jnp.moveaxis(pt, [1 + q for q in targets], list(range(1, 1 + t)))
     pt = pt.reshape(2, K, -1)                     # (2, K, rest)
@@ -144,12 +215,40 @@ def peek_probs(ens: QuantumEnsemble, n: int, targets: Sequence[int]
     return ens.weights() @ per
 
 
+def _sum_over_targets(x, n: int, targets):
+    """Sum a (..., 2^n) tensor over the target qubit axes (grouped-view
+    reduction; never materialises the (2,)*n form)."""
+    lead = x.shape[:-1]
+    v = x.reshape(lead + (2,) * n)
+    off = len(lead)
+    v = jnp.sum(v, axis=tuple(off + q for q in targets))
+    return v.reshape(lead + (-1,))
+
+
+def _expand_over_targets(phi, n: int, targets):
+    """Broadcast a (..., 2^{n-t}) tensor over the target qubit axes to
+    (..., F, S, L) carrier form (the broadcast+reshape fuse into the
+    consuming multiply, so nothing materialises in a padded layout)."""
+    tset = set(targets)
+    lead = phi.shape[:-1]
+    shape = lead + tuple(1 if q in tset else 2 for q in range(n))
+    full = lead + (2,) * n
+    F, S, L = _carrier(n)
+    return jnp.broadcast_to(phi.reshape(shape), full).reshape(
+        lead + (F, S, L))
+
+
 def _replace_block(state, n: int, targets: Sequence[int], k: int):
     """|k⟩_A ⊗ (B-part of ``state``): zero all target-blocks except the
     B-slice of the state's own block, relocated to block ``k``."""
     targets = sorted(targets)
     t = len(targets)
     K = 2**t
+    if n >= _MASK_N_MIN and t <= 12:
+        phi = _sum_over_targets(state, n, targets)   # (2, 2^{n-t})
+        out = (_expand_over_targets(phi, n, targets)
+               * _outcome_mask(n, targets, k))
+        return out.reshape(state.shape)
     pt = state.reshape((2,) + (2,) * n)
     pt = jnp.moveaxis(pt, [1 + q for q in targets], list(range(1, 1 + t)))
     pt = pt.reshape(2, K, -1)
@@ -217,6 +316,17 @@ def _discard_split(psi, n: int, targets: Sequence[int]):
     targets = sorted(targets)
     t = len(targets)
     K = 2**t
+    if n >= _MASK_N_MIN and t <= 12:
+        F, S, L = _carrier(n)
+        p = _probs_by_reduce(psi, n, targets)
+        inv = 1.0 / jnp.sqrt(jnp.clip(p, _MIN_P))
+        pv = psi.reshape(2, F, S, L)
+        states = jnp.stack([
+            _sum_over_targets(
+                (pv * (_outcome_mask(n, targets, k) * inv[k])
+                 ).reshape(2, -1), n, targets)
+            for k in range(K)])
+        return p, states                          # (K, 2, 2^{n-t})
     pt = psi.reshape((2,) + (2,) * n)
     pt = jnp.moveaxis(pt, [1 + q for q in targets], list(range(1, 1 + t)))
     pt = pt.reshape(2, K, -1)                     # (2, K, rest)
@@ -333,6 +443,22 @@ def measure_sample(key: jax.Array, ens: QuantumEnsemble, n: int,
     return QuantumEnsemble(log_w, psi, ens.lost_mass), dist, outcomes
 
 
+def _expand_phi_over_others(vec, n: int, targets):
+    """(2^t,) tensor living on ``targets`` (vec bit j ↔ targets[j]) →
+    (F, S, L) carrier broadcast over the non-target axes.  The small
+    transpose into sorted-target order happens on the 2^t tensor; the
+    full-size broadcast+reshape fuse into the consuming multiply."""
+    t = len(targets)
+    order = np.argsort(np.asarray(targets))
+    v = vec.reshape((2,) * t)
+    if list(order) != list(range(t)):
+        v = jnp.transpose(v, tuple(int(a) for a in order))
+    tset = set(targets)
+    shape = tuple(2 if q in tset else 1 for q in range(n))
+    F, S, L = _carrier(n)
+    return jnp.broadcast_to(v.reshape(shape), (2,) * n).reshape(F, S, L)
+
+
 def _insert_block(phi_planar, rest, n: int, targets: Sequence[int]):
     """Tensor a 2^t planar ket into positions ``targets`` of an
     (n−t)-qubit planar ``rest`` — ``phi``'s qubit j lands on
@@ -342,6 +468,15 @@ def _insert_block(phi_planar, rest, n: int, targets: Sequence[int]):
     t = len(targets)
     pr, pi = phi_planar[0], phi_planar[1]
     rr, ri = rest[0], rest[1]
+    if n >= _MASK_N_MIN:
+        sorted_t = sorted(targets)
+        pre = _expand_phi_over_others(pr, n, list(targets))
+        pie = _expand_phi_over_others(pi, n, list(targets))
+        rre = _expand_over_targets(rr[None], n, sorted_t)[0]
+        rie = _expand_over_targets(ri[None], n, sorted_t)[0]
+        out_r = pre * rre - pie * rie
+        out_i = pre * rie + pie * rre
+        return jnp.stack([out_r, out_i]).reshape(2, -1)
     out_r = pr[:, None] * rr[None, :] - pi[:, None] * ri[None, :]
     out_i = pr[:, None] * ri[None, :] + pi[:, None] * rr[None, :]
     o = jnp.stack([out_r, out_i]).reshape((2,) + (2,) * n)

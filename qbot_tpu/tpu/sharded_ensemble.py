@@ -351,14 +351,28 @@ def _outcome_split_local(psi, n_local: int, targets: Sequence[int],
     (ascending axis), MSB-first; probabilities psum over the qubit axis;
     collapsed states normalised by GLOBAL p.
     """
+    from qbot_tpu.inference.ensemble_exec import (
+        _MASK_N_MIN,
+        _carrier,
+        _outcome_mask,
+        _probs_by_reduce,
+    )
+
     targets = sorted(targets)
     t = len(targets)
     K_l = 2**t
     K = K_l * 2 ** len(shard_positions)
-    pt = psi.reshape((2,) + (2,) * n_local)
-    pt = jnp.moveaxis(pt, [1 + q for q in targets], list(range(1, 1 + t)))
-    pt = pt.reshape(2, K_l, -1)
-    p_l = jnp.sum(pt**2, axis=(0, 2))                         # (K_l,)
+    safe = n_local >= _MASK_N_MIN and t <= 12
+    if safe:
+        # tiling-safe path (see ensemble_exec): grouped-view reduction
+        # for the probabilities, diagonal bit masks for the projections
+        p_l = _probs_by_reduce(psi, n_local, targets)
+    else:
+        pt = psi.reshape((2,) + (2,) * n_local)
+        pt = jnp.moveaxis(pt, [1 + q for q in targets],
+                          list(range(1, 1 + t)))
+        pt = pt.reshape(2, K_l, -1)
+        p_l = jnp.sum(pt**2, axis=(0, 2))                     # (K_l,)
     if shard_positions:
         os = _shard_outcome_index(shard_positions, k, q_axis)
         rows = os * K_l + jnp.arange(K_l)
@@ -371,14 +385,22 @@ def _outcome_split_local(psi, n_local: int, targets: Sequence[int],
     else:
         p = p_l                       # register replicated over the q axis
         my_p = p
-    eye = jnp.eye(K_l, dtype=psi.dtype)
-    proj = jnp.einsum("kj,cjr->kcjr", eye, pt)
-    norm = jnp.sqrt(jnp.clip(my_p, _MIN_P))[:, None, None, None]
-    proj = proj / norm
-    proj = proj.reshape((K_l, 2) + (2,) * n_local)
-    proj = jnp.moveaxis(proj, list(range(2, 2 + t)),
-                        [2 + q for q in targets])
-    proj = proj.reshape(K_l, 2, -1)
+    if safe:
+        F, S, L = _carrier(n_local)
+        inv = 1.0 / jnp.sqrt(jnp.clip(my_p, _MIN_P))
+        pv = psi.reshape(2, F, S, L)
+        proj = jnp.stack([pv * (_outcome_mask(n_local, targets, kk)
+                                * inv[kk])
+                          for kk in range(K_l)]).reshape(K_l, 2, -1)
+    else:
+        eye = jnp.eye(K_l, dtype=psi.dtype)
+        proj = jnp.einsum("kj,cjr->kcjr", eye, pt)
+        norm = jnp.sqrt(jnp.clip(my_p, _MIN_P))[:, None, None, None]
+        proj = proj / norm
+        proj = proj.reshape((K_l, 2) + (2,) * n_local)
+        proj = jnp.moveaxis(proj, list(range(2, 2 + t)),
+                            [2 + q for q in targets])
+        proj = proj.reshape(K_l, 2, -1)
     if shard_positions:
         proj = jnp.zeros((K,) + proj.shape[1:], proj.dtype
                          ).at[rows].set(proj)
@@ -388,9 +410,30 @@ def _outcome_split_local(psi, n_local: int, targets: Sequence[int],
 def _discard_split_local(psi, n_local: int, targets: Sequence[int],
                          q_axis: str, q_sharded: bool = True):
     """Shard-local ensemble_exec._discard_split (global-normalised)."""
+    from qbot_tpu.inference.ensemble_exec import (
+        _MASK_N_MIN,
+        _carrier,
+        _outcome_mask,
+        _probs_by_reduce,
+        _sum_over_targets,
+    )
+
     targets = sorted(targets)
     t = len(targets)
     K = 2**t
+    if n_local >= _MASK_N_MIN and t <= 12:
+        F, S, L = _carrier(n_local)
+        p = _probs_by_reduce(psi, n_local, targets)
+        if q_sharded:
+            p = jax.lax.psum(p, q_axis)
+        inv = 1.0 / jnp.sqrt(jnp.clip(p, _MIN_P))
+        pv = psi.reshape(2, F, S, L)
+        states = jnp.stack([
+            _sum_over_targets(
+                (pv * (_outcome_mask(n_local, targets, kk) * inv[kk])
+                 ).reshape(2, -1), n_local, targets)
+            for kk in range(K)])
+        return p, states
     pt = psi.reshape((2,) + (2,) * n_local)
     pt = jnp.moveaxis(pt, [1 + q for q in targets], list(range(1, 1 + t)))
     pt = pt.reshape(2, K, -1)
@@ -405,18 +448,11 @@ def _discard_split_local(psi, n_local: int, targets: Sequence[int],
 def _replace_block_local(state, n_local: int, targets: Sequence[int],
                          k_out: int):
     """ensemble_exec._replace_block on the shard-local view (targets are
-    local axes; the collapsed block structure lives entirely locally)."""
-    targets = sorted(targets)
-    t = len(targets)
-    K = 2**t
-    pt = state.reshape((2,) + (2,) * n_local)
-    pt = jnp.moveaxis(pt, [1 + q for q in targets], list(range(1, 1 + t)))
-    pt = pt.reshape(2, K, -1)
-    phi = jnp.sum(pt, axis=1)
-    out = jnp.zeros_like(pt).at[:, k_out, :].set(phi)
-    out = out.reshape((2,) + (2,) * n_local)
-    out = jnp.moveaxis(out, list(range(1, 1 + t)), [1 + q for q in targets])
-    return out.reshape(state.shape)
+    local axes; the collapsed block structure lives entirely locally —
+    delegates to the tiling-safe shared implementation)."""
+    from qbot_tpu.inference.ensemble_exec import _replace_block
+
+    return _replace_block(state, n_local, targets, k_out)
 
 
 def _quota(B_total: int, K_fan: int, max_particles: int, Pshards: int):
