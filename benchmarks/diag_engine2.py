@@ -71,7 +71,7 @@ if __name__ == "__main__":
         low = lower_dot_plan(plan)
         steps = [(_Win(s.step, s.view, s.spec, s.flips, ())
                   if isinstance(s, _Win) else s) for s in low.steps]
-        low2 = dotplan.DotPlan(low.n, low.num_params, steps,
+        low2 = dotplan.DotPlan(low.n, low.num_params, steps, low.tail,
                                low.entry_perm, low.final_perm)
         timed(scan_runner(low2), psi0, "nop")
 
@@ -99,6 +99,6 @@ if __name__ == "__main__":
                 steps.append(_Win(st, s.view, s.spec, s.flips, s.phases))
             else:
                 steps.append(s)
-        low4 = dotplan.DotPlan(low.n, low.num_params, steps,
+        low4 = dotplan.DotPlan(low.n, low.num_params, steps, low.tail,
                                low.entry_perm, low.final_perm)
         timed(scan_runner(low4), psi0, "mat")

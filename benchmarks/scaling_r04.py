@@ -21,8 +21,10 @@ actual TPU at all (not even mesh 1x1), and the 4x2 composed-mesh row
 3. The emulated-mesh weak-scaling rows of r03, regenerated with the
    executor-side exact collective counts.
 
-Projections use the measured effective HBM rate from (1) when a TPU
-anchor file is present (SCALING_r04_tpu.json), else the datasheet.
+Projections use the datasheet HBM rate — deliberately CONSERVATIVE for
+an efficiency claim (the anchor's wall-clock rate is dispatch-bound and
+would inflate projected efficiency); the anchor (SCALING_r04_tpu.json)
+grounds the overhead narrative instead.
 
 Usage:
   python benchmarks/scaling_r04.py --platform tpu   # on the real chip
@@ -123,8 +125,9 @@ def tpu_main(n: int) -> None:
     unsharded_wall = min(uwalls)
 
     hbm_dev = stats["hbm_bytes"]
-    eff_hbm = hbm_dev / sharded_wall          # lower bound: includes
-    # dispatch + collapse sync, so the projection using it is conservative
+    # wall-clock rate: a dispatch-bound LOWER bound on the chip's real
+    # streaming rate (axon tunnel ~21 ms/call, several calls/collapse)
+    eff_hbm = hbm_dev / sharded_wall
     out = {
         "platform": "TPU v5e (real chip, axon)",
         "qubits": n,
@@ -170,7 +173,14 @@ def main() -> None:
     if os.path.exists(TPU_ANCHOR):
         with open(TPU_ANCHOR) as f:
             anchor = json.load(f)
-        w_hbm = float(anchor["measured_effective_hbm_bytes_per_s"])
+        measured = float(anchor["measured_effective_hbm_bytes_per_s"])
+        # CONSERVATIVE for an efficiency claim means the HIGHER rate:
+        # less projected compute time makes comm weigh more.  The
+        # anchor's wall-clock rate is dominated by the axon tunnel's
+        # per-call dispatch (~21 ms x several jitted calls per collapse)
+        # — an environment ceiling, not an HBM or ICI property — so it
+        # anchors the overhead narrative, not the roofline.
+        w_hbm = max(measured, W_HBM_DATASHEET)
 
     def project(stats, ndev):
         comm_dev = stats["comm_bytes"] / ndev
@@ -241,10 +251,10 @@ def main() -> None:
                         "projections anchored on the real-TPU row",
             "model": {
                 "W_hbm_bytes_per_s": w_hbm,
-                "W_hbm_source": ("measured on chip (mesh-1x1 anchor, "
-                                 "conservative: includes dispatch and "
-                                 "collapse sync)" if anchor
-                                 else "datasheet"),
+                "W_hbm_source": "datasheet (the measured mesh-1x1 "
+                                "wall rate is dispatch-bound and would "
+                                "INFLATE projected efficiency; see "
+                                "tpu_anchor)",
                 "W_ici_bytes_per_s": W_ICI,
                 "alpha_s_per_collective": ALPHA,
                 "formula": "eff = t_compute / (t_compute + t_comm); "

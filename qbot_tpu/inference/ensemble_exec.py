@@ -175,6 +175,35 @@ def _probs_by_reduce(psi, n: int, targets):
     return p.reshape(-1)
 
 
+def _mask_factor_rows(n: int, targets):
+    """Host (K, F), (K, S), (K, L) matrices: row k's outer product is the
+    bit mask selecting target bits == k.  Lets sample-mode collapses
+    select ONE outcome's mask per particle (small row gathers) instead of
+    materialising all K projected states (K× the ensemble memory)."""
+    f, s, l = _local_tail(n)
+    sizes = (2 ** f, 2 ** s, 2 ** l)
+    spans = ((0, f), (f, f + s), (f + s, n))
+    t = len(targets)
+    K = 2 ** t
+    mats = [np.ones((K, sz), np.float32) for sz in sizes]
+    for i, q in enumerate(targets):
+        want = ((np.arange(K) >> (t - 1 - i)) & 1)[:, None]   # (K, 1)
+        for ax, (lo, hi) in enumerate(spans):
+            if lo <= q < hi:
+                bit = ((np.arange(sizes[ax]) >> (hi - 1 - q)) & 1)[None, :]
+                mats[ax] *= (bit == want).astype(np.float32)
+                break
+    return tuple(jnp.asarray(m) for m in mats)
+
+
+def _select_mask(mrows, n: int, outcome):
+    """The (F, S, L)-broadcast mask of ONE (traced) outcome index."""
+    F, S, L = _carrier(n)
+    mf, ms, ml = mrows
+    return (mf[outcome].reshape(F, 1, 1) * ms[outcome].reshape(1, S, 1)
+            * ml[outcome].reshape(1, 1, L))
+
+
 def _outcome_split(psi, n: int, targets: Sequence[int]):
     """(2, 2^n) → per-outcome probs (K,) and collapsed states (K, 2, 2^n).
 
@@ -215,14 +244,111 @@ def peek_probs(ens: QuantumEnsemble, n: int, targets: Sequence[int]
     return ens.weights() @ per
 
 
-def _sum_over_targets(x, n: int, targets):
-    """Sum a (..., 2^n) tensor over the target qubit axes (grouped-view
-    reduction; never materialises the (2,)*n form)."""
+def _cyclic_shift(x, m: int, k: int):
+    """Rotate the m qubit axes of a (..., 2^m) tensor left by k positions
+    via ONE transpose (..., 2^k, 2^{m-k}) → (..., 2^{m-k}, 2^k).
+
+    The materialised transpose output keeps minor dims >= (8, 128) iff
+    7 <= k <= m-3; callers only request shifts in that range."""
     lead = x.shape[:-1]
-    v = x.reshape(lead + (2,) * n)
     off = len(lead)
-    v = jnp.sum(v, axis=tuple(off + q for q in targets))
+    v = x.reshape(lead + (2 ** k, 2 ** (m - k)))
+    v = jnp.swapaxes(v, off, off + 1)
     return v.reshape(lead + (-1,))
+
+
+def _shift_amounts(s: int, m: int):
+    """Decompose a cyclic left-shift by ``s`` (mod m) into shifts each in
+    the tiling-safe range [7, m-3] (terminates for m >= 16: s < 7 pushes
+    to s+m-7, whose overshoot of m-3 is at least 7 again)."""
+    out = []
+    s %= m
+    while s:
+        if 7 <= s <= m - 3:
+            out.append(s)
+            s = 0
+        elif s < 7:
+            out.append(7)
+            s = (s - 7) % m
+        else:                          # s > m-3: peel off a safe shift
+            out.append(s - 7)
+            s = 7
+    return out
+
+
+def _sum_over_targets(x, n: int, targets):
+    """Sum a (..., 2^n) tensor over the target qubit axes, in the
+    original order of the remaining axes.
+
+    Above the small-n regime a naive reduction materialises its output
+    in (2,)*m form — both minor dims pad (8, 128)/2 = 64× (a measured
+    32 GB fusion output at 24 qubits).  Instead, axes are eliminated one
+    at a time from SAFE positions (3 <= p <= m-8, so the reduce output
+    (..., A, B) keeps A >= 8, B >= 128), cycling the register with safe
+    transposes (:func:`_cyclic_shift`) when no target sits in the safe
+    band; removals preserve cyclic order, so the final order is a pure
+    cyclic shift of the desired order and one or two safe shifts restore
+    it.  Each shift costs a full-state pass; disc/replace events are
+    rare.
+    """
+    # below _STAGED_MIN the direct (2,)*m reduction is used: its 64x
+    # padded output is still small (<= 32 MB at m=16), and the staged
+    # rotation scheme needs m >= 17 for its safe band [3, m-8] to be
+    # reachable from every position (at m = 14 positions 0-2 and 7-9
+    # cycle forever under rotate-by-7)
+    _STAGED_MIN = 17
+    lead = x.shape[:-1]
+    off = len(lead)
+    tset = set(targets)
+    if n < _STAGED_MIN:
+        v = x.reshape(lead + (2,) * n)
+        v = jnp.sum(v, axis=tuple(off + q for q in targets))
+        return v.reshape(lead + (-1,))
+    order = list(range(n))
+    m = n
+    remaining = set(targets)
+    cur = x.reshape(lead + (-1,))
+    while remaining:
+        if m < _STAGED_MIN:           # small enough: finish directly
+            pos_of = {q: i for i, q in enumerate(order)}
+            v = cur.reshape(lead + (2,) * m)
+            v = jnp.sum(v, axis=tuple(off + pos_of[q] for q in remaining))
+            order = [q for q in order if q not in remaining]
+            m = len(order)
+            remaining = set()
+            cur = v.reshape(lead + (-1,))
+            break
+        pos_of = {q: i for i, q in enumerate(order)}
+        safe = sorted((pos_of[q] for q in remaining
+                       if 3 <= pos_of[q] <= m - 8), reverse=True)
+        if safe:
+            p = safe[0]
+            q = order[p]
+            A, B = 2 ** p, 2 ** (m - 1 - p)
+            v = cur.reshape(lead + (A, 2, B))
+            v = jnp.sum(v, axis=off + 1)
+            cur = v.reshape(lead + (-1,))
+            order.pop(p)
+            m -= 1
+            remaining.discard(q)
+            continue
+        cur = _cyclic_shift(cur, m, m - 7)   # move the last 7 to front
+        order = order[m - 7:] + order[:m - 7]
+    desired = [q for q in range(n) if q not in tset]
+    if order != desired and m:
+        if m < _STAGED_MIN:
+            pos_of = {q: i for i, q in enumerate(order)}
+            v = cur.reshape(lead + (2,) * m)
+            v = jnp.transpose(v, tuple(range(off))
+                              + tuple(off + pos_of[q] for q in desired))
+            cur = v.reshape(lead + (-1,))
+        else:
+            # order is a cyclic shift of desired (removals preserve
+            # cyclic words): restore with safe shifts
+            s = order.index(desired[0])
+            for k in _shift_amounts(s, m):
+                cur = _cyclic_shift(cur, m, k)
+    return cur
 
 
 def _expand_over_targets(phi, n: int, targets):
@@ -371,13 +497,35 @@ def discard_sample(key: jax.Array, ens: QuantumEnsemble, n: int,
     )
 
     B = ens.num_particles
-    p_all, states = jax.vmap(
-        lambda s: _discard_split(s, n, targets))(ens.psi)
-    key_o, key_r = jax.random.split(key)
-    outcomes = jax.random.categorical(
-        key_o, jnp.log(jnp.clip(p_all, _MIN_P)), axis=-1)
-    psi = jnp.take_along_axis(
-        states, outcomes[:, None, None, None], axis=1)[:, 0]
+    targets = sorted(targets)
+    t = len(targets)
+    if n >= _MASK_N_MIN and t <= 12:
+        # large registers: extract only the SAMPLED outcome's sub-block
+        # (mask + staged sum), never the all-K states tensor
+        p_all = jax.vmap(
+            lambda s: _probs_by_reduce(s, n, targets))(ens.psi)
+        key_o, key_r = jax.random.split(key)
+        outcomes = jax.random.categorical(
+            key_o, jnp.log(jnp.clip(p_all, _MIN_P)), axis=-1)
+        p_sel = jnp.take_along_axis(p_all, outcomes[:, None], axis=1)[:, 0]
+        inv = 1.0 / jnp.sqrt(jnp.clip(p_sel, _MIN_P))
+        mrows = _mask_factor_rows(n, targets)
+        F, S, L = _carrier(n)
+
+        def extract(s, o, iv):
+            m = _select_mask(mrows, n, o)
+            masked = (s.reshape(2, F, S, L) * (m * iv)).reshape(2, -1)
+            return _sum_over_targets(masked, n, targets)
+
+        psi = jax.vmap(extract)(ens.psi, outcomes, inv)
+    else:
+        p_all, states = jax.vmap(
+            lambda s: _discard_split(s, n, targets))(ens.psi)
+        key_o, key_r = jax.random.split(key)
+        outcomes = jax.random.categorical(
+            key_o, jnp.log(jnp.clip(p_all, _MIN_P)), axis=-1)
+        psi = jnp.take_along_axis(
+            states, outcomes[:, None, None, None], axis=1)[:, 0]
     new = QuantumEnsemble(ens.log_w, psi)
     ess = effective_sample_size(new.log_w)
 
@@ -417,15 +565,37 @@ def measure_sample(key: jax.Array, ens: QuantumEnsemble, n: int,
     )
 
     B = ens.num_particles
-    p_all, states = jax.vmap(
-        lambda s: _outcome_split(s, n, targets))(ens.psi)  # (B,K), (B,K,2,·)
-    dist = ens.weights() @ p_all
+    targets = sorted(targets)
+    t = len(targets)
+    if n >= _MASK_N_MIN and t <= 12:
+        # large registers: select ONE outcome's mask per particle — the
+        # all-K projected-states tensor is K× the ensemble memory and
+        # its padded layout OOMs at 24 qubits
+        p_all = jax.vmap(
+            lambda s: _probs_by_reduce(s, n, targets))(ens.psi)
+        dist = ens.weights() @ p_all
+        key_o, key_r = jax.random.split(key)
+        outcomes = jax.random.categorical(
+            key_o, jnp.log(jnp.clip(p_all, _MIN_P)), axis=-1)
+        p_sel = jnp.take_along_axis(p_all, outcomes[:, None], axis=1)[:, 0]
+        inv = 1.0 / jnp.sqrt(jnp.clip(p_sel, _MIN_P))
+        mrows = _mask_factor_rows(n, targets)
+        F, S, L = _carrier(n)
 
-    key_o, key_r = jax.random.split(key)
-    outcomes = jax.random.categorical(
-        key_o, jnp.log(jnp.clip(p_all, _MIN_P)), axis=-1)     # (B,)
-    psi = jnp.take_along_axis(
-        states, outcomes[:, None, None, None], axis=1)[:, 0]
+        def collapse(s, o, iv):
+            m = _select_mask(mrows, n, o)
+            return (s.reshape(2, F, S, L) * (m * iv)).reshape(2, -1)
+
+        psi = jax.vmap(collapse)(ens.psi, outcomes, inv)
+    else:
+        p_all, states = jax.vmap(
+            lambda s: _outcome_split(s, n, targets))(ens.psi)
+        dist = ens.weights() @ p_all
+        key_o, key_r = jax.random.split(key)
+        outcomes = jax.random.categorical(
+            key_o, jnp.log(jnp.clip(p_all, _MIN_P)), axis=-1)     # (B,)
+        psi = jnp.take_along_axis(
+            states, outcomes[:, None, None, None], axis=1)[:, 0]
     new = QuantumEnsemble(ens.log_w, psi)
 
     ess = effective_sample_size(new.log_w)

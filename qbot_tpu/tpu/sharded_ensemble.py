@@ -407,6 +407,36 @@ def _outcome_split_local(psi, n_local: int, targets: Sequence[int],
     return p, proj
 
 
+def _outcome_probs_local(psi, n_local: int, targets: Sequence[int],
+                         q_axis: str, shard_positions: Sequence[int] = (),
+                         k: int = 0, q_sharded: bool = True):
+    """Outcome probabilities only (no states): (global p (K,), my_p).
+
+    The probs part of :func:`_outcome_split_local`, for sample-mode
+    collapses that select ONE outcome's mask per particle instead of
+    materialising all K projections (K× the ensemble memory — OOMs at
+    24 qubits)."""
+    from qbot_tpu.inference.ensemble_exec import _probs_by_reduce
+
+    targets = sorted(targets)
+    K_l = 2 ** len(targets)
+    K = K_l * 2 ** len(shard_positions)
+    p_l = _probs_by_reduce(psi, n_local, targets)
+    if shard_positions:
+        os = _shard_outcome_index(shard_positions, k, q_axis)
+        rows = os * K_l + jnp.arange(K_l)
+        p = jax.lax.psum(
+            jnp.zeros((K,), p_l.dtype).at[rows].set(p_l), q_axis)
+        my_p = p[rows]
+    elif q_sharded:
+        p = jax.lax.psum(p_l, q_axis)
+        my_p = p
+    else:
+        p = p_l
+        my_p = p
+    return p, my_p
+
+
 def _discard_split_local(psi, n_local: int, targets: Sequence[int],
                          q_axis: str, q_sharded: bool = True):
     """Shard-local ensemble_exec._discard_split (global-normalised)."""
@@ -733,11 +763,22 @@ def measure_sample_sharded(key, ens: ShardedEnsemble, n: int,
     Bl = B_total // emesh.P
     _count(stats, (1 if (shard_positions or q_sharded) else 0) + 2 + 1 + 2)
 
+    t_l = len(sorted(local_targets))
+    K_l = 2 ** t_l
+    safe = n_local >= 14 and t_l <= 12
+
     def body(log_w, psi, lost):
-        p_all, states = jax.vmap(
-            lambda s: _outcome_split_local(s, n_local, local_targets,
-                                           emesh.q_axis, shard_positions,
-                                           k, q_sharded))(psi)
+        if safe:
+            p_all = jax.vmap(
+                lambda s: _outcome_probs_local(
+                    s, n_local, local_targets, emesh.q_axis,
+                    shard_positions, k, q_sharded)[0])(psi)
+        else:
+            p_all, states = jax.vmap(
+                lambda s: _outcome_split_local(s, n_local, local_targets,
+                                               emesh.q_axis,
+                                               shard_positions,
+                                               k, q_sharded))(psi)
         lw_n = _global_normalize(log_w, emesh.p_axis)
         w = jnp.exp(lw_n)
         dist = jax.lax.psum(w @ p_all, emesh.p_axis)
@@ -748,8 +789,34 @@ def measure_sample_sharded(key, ens: ShardedEnsemble, n: int,
         outcomes = jax.vmap(
             lambda kk, lp: jax.random.categorical(kk, lp)
         )(keys, jnp.log(jnp.clip(p_all, _MIN_P)))
-        new_psi = jnp.take_along_axis(
-            states, outcomes[:, None, None, None], axis=1)[:, 0]
+        if safe:
+            from qbot_tpu.inference.ensemble_exec import (
+                _carrier,
+                _mask_factor_rows,
+                _select_mask,
+            )
+
+            mrows = _mask_factor_rows(n_local, sorted(local_targets))
+            F, S, L = _carrier(n_local)
+            p_sel = jnp.take_along_axis(p_all, outcomes[:, None],
+                                        axis=1)[:, 0]
+            inv = 1.0 / jnp.sqrt(jnp.clip(p_sel, _MIN_P))
+            if shard_positions:
+                os = _shard_outcome_index(shard_positions, k,
+                                          emesh.q_axis)
+                match = (outcomes // K_l == os).astype(psi.dtype)
+            else:
+                match = jnp.ones_like(outcomes, psi.dtype)
+
+            def collapse(s, o, iv, mt):
+                m = _select_mask(mrows, n_local, o % K_l)
+                return (s.reshape(2, F, S, L)
+                        * (m * (iv * mt))).reshape(2, -1)
+
+            new_psi = jax.vmap(collapse)(psi, outcomes, inv, match)
+        else:
+            new_psi = jnp.take_along_axis(
+                states, outcomes[:, None, None, None], axis=1)[:, 0]
 
         # global ESS of the (unchanged) weights
         s1 = jax.lax.psum(jnp.sum(jnp.exp(lw_n)), emesh.p_axis)
@@ -784,18 +851,50 @@ def discard_sample_sharded(key, ens: ShardedEnsemble, n: int,
     Bl = B_total // emesh.P
     _count(stats, (1 if q_sharded else 0) + 2 + 2)
 
+    t_l = len(sorted(local_targets))
+    safe = n_local >= 14 and t_l <= 12
+
     def body(log_w, psi, lost):
-        p_all, states = jax.vmap(
-            lambda s: _discard_split_local(s, n_local, local_targets,
-                                           emesh.q_axis, q_sharded))(psi)
+        if safe:
+            p_all = jax.vmap(
+                lambda s: _outcome_probs_local(
+                    s, n_local, local_targets, emesh.q_axis, (),
+                    0, q_sharded)[0])(psi)
+        else:
+            p_all, states = jax.vmap(
+                lambda s: _discard_split_local(s, n_local, local_targets,
+                                               emesh.q_axis,
+                                               q_sharded))(psi)
         shard = jax.lax.axis_index(emesh.p_axis)
         gidx = shard * Bl + jnp.arange(Bl)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(gidx)
         outcomes = jax.vmap(
             lambda kk, lp: jax.random.categorical(kk, lp)
         )(keys, jnp.log(jnp.clip(p_all, _MIN_P)))
-        new_psi = jnp.take_along_axis(
-            states, outcomes[:, None, None, None], axis=1)[:, 0]
+        if safe:
+            from qbot_tpu.inference.ensemble_exec import (
+                _carrier,
+                _mask_factor_rows,
+                _select_mask,
+                _sum_over_targets,
+            )
+
+            srt = sorted(local_targets)
+            mrows = _mask_factor_rows(n_local, srt)
+            F, S, L = _carrier(n_local)
+            p_sel = jnp.take_along_axis(p_all, outcomes[:, None],
+                                        axis=1)[:, 0]
+            inv = 1.0 / jnp.sqrt(jnp.clip(p_sel, _MIN_P))
+
+            def extract(s, o, iv):
+                m = _select_mask(mrows, n_local, o)
+                masked = (s.reshape(2, F, S, L) * (m * iv)).reshape(2, -1)
+                return _sum_over_targets(masked, n_local, srt)
+
+            new_psi = jax.vmap(extract)(psi, outcomes, inv)
+        else:
+            new_psi = jnp.take_along_axis(
+                states, outcomes[:, None, None, None], axis=1)[:, 0]
         lw_n = _global_normalize(log_w, emesh.p_axis)
         s1 = jax.lax.psum(jnp.sum(jnp.exp(lw_n)), emesh.p_axis)
         s2 = jax.lax.psum(jnp.sum(jnp.exp(2.0 * lw_n)), emesh.p_axis)

@@ -541,3 +541,64 @@ class TestTargetedQset:
         lp = lower_program(src, mid_measure=True)
         with pytest.raises(ValueError, match="targeted qset"):
             run_lowered_ensemble(lp, sample=16)
+
+
+class TestTilingSafeCollapse:
+    """The large-register collapse formulations (bit masks, staged
+    reductions, outcome-selected sample collapse) must agree EXACTLY
+    with the direct (2,)^n formulations — same keys, same outcomes,
+    same states."""
+
+    def _rand_ens(self, n, B=3, seed=0):
+        import jax.numpy as jnp
+
+        from qbot_tpu.inference.ensemble_exec import QuantumEnsemble
+
+        rng = np.random.default_rng(seed)
+        psi = rng.normal(size=(B, 2, 2**n)).astype(np.float32)
+        psi /= np.sqrt((psi**2).sum(axis=(1, 2), keepdims=True))
+        lw = np.log(rng.dirichlet(np.ones(B)))
+        return QuantumEnsemble(jnp.asarray(lw), jnp.asarray(psi))
+
+    @pytest.mark.parametrize("targets", [[0], [16], [0, 16], [3, 9],
+                                         [15, 16], [0, 1, 2]])
+    def test_fanout_and_sample_match_direct(self, targets, monkeypatch):
+        import jax
+
+        import qbot_tpu.inference.ensemble_exec as ee
+
+        n = 17
+        ens = self._rand_ens(n)
+        key = jax.random.PRNGKey(7)
+
+        def run_all():
+            m_ens, m_dist = ee.measure_fanout(ens, n, targets, 64,
+                                              mode="projective")
+            d_ens = ee.discard_fanout(ens, n, targets, 64)
+            s_ens, s_dist, s_out = ee.measure_sample(key, ens, n, targets)
+            ds_ens = ee.discard_sample(key, ens, n, targets)
+            return (np.asarray(m_dist), np.asarray(m_ens.psi),
+                    np.asarray(d_ens.psi), np.asarray(s_dist),
+                    np.asarray(s_out), np.asarray(s_ens.psi),
+                    np.asarray(ds_ens.psi))
+
+        new = run_all()
+        monkeypatch.setattr(ee, "_MASK_N_MIN", 99)
+        old = run_all()
+        for a, b in zip(new, old):
+            np.testing.assert_allclose(a, b, atol=2e-6)
+
+    def test_reference_mode_relocation_matches_direct(self, monkeypatch):
+        import qbot_tpu.inference.ensemble_exec as ee
+
+        n = 17
+        ens = self._rand_ens(n, B=2)
+        new_e, new_d = ee.measure_fanout(ens, n, [2, 16], 64,
+                                         mode="reference")
+        monkeypatch.setattr(ee, "_MASK_N_MIN", 99)
+        old_e, old_d = ee.measure_fanout(ens, n, [2, 16], 64,
+                                         mode="reference")
+        np.testing.assert_allclose(np.asarray(new_d), np.asarray(old_d),
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(new_e.psi),
+                                   np.asarray(old_e.psi), atol=2e-6)
