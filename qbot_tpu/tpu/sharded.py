@@ -631,6 +631,20 @@ def make_sharded_planar_runner(splan: ShardedPlan, mesh: Mesh,
             shape[a] = 2
         dr = dr.reshape(shape)
         di = di.reshape(shape)
+        if n_local >= 14:
+            # tiling-safe: broadcast the diag factors to the (F, S, L)
+            # carrier so every fusion output keeps >= (8, 128) trailing
+            # dims (a (2,)*n-shaped output pads 64x — see ensemble_exec)
+            from qbot_tpu.inference.ensemble_exec import _carrier
+
+            F, S, L = _carrier(n_local)
+            drc = jnp.broadcast_to(dr, (2,) * n_local).reshape(F, S, L)
+            dic = jnp.broadcast_to(di, (2,) * n_local).reshape(F, S, L)
+            t = psi.reshape(2, F, S, L)
+            pr, pi = t[0], t[1]
+            out_r = drc * pr - dic * pi
+            out_i = drc * pi + dic * pr
+            return jnp.stack([out_r, out_i]).reshape(psi.shape)
         t = psi.reshape((2,) + (2,) * n_local)
         pr, pi = t[0], t[1]
         out_r = dr * pr - di * pi

@@ -235,9 +235,23 @@ def _batched_sharded_diag(psi, item: ShardedDiag, n_local: int, k: int,
     shape = [1] * n_local
     for a in local_axes:
         shape[a] = 2
+    Bl = psi.shape[0]
+    if n_local >= 14:
+        # tiling-safe carrier formulation (see tpu/sharded.py note)
+        from qbot_tpu.inference.ensemble_exec import _carrier
+
+        F, S, L = _carrier(n_local)
+        drc = jnp.broadcast_to(dr.reshape(shape),
+                               (2,) * n_local).reshape(1, F, S, L)
+        dic = jnp.broadcast_to(di.reshape(shape),
+                               (2,) * n_local).reshape(1, F, S, L)
+        t = psi.reshape(Bl, 2, F, S, L)
+        pr, pi = t[:, 0], t[:, 1]
+        out_r = drc * pr - dic * pi
+        out_i = drc * pi + dic * pr
+        return jnp.stack([out_r, out_i], axis=1).reshape(psi.shape)
     dr = dr.reshape([1] + shape)         # broadcast over the particle axis
     di = di.reshape([1] + shape)
-    Bl = psi.shape[0]
     t = psi.reshape((Bl, 2) + (2,) * n_local)
     pr, pi = t[:, 0], t[:, 1]
     out_r = dr * pr - di * pi
