@@ -130,10 +130,32 @@ def main(argv=None) -> int:
             if args.shard or args.mesh:
                 import jax
                 from qbot_tpu.tpu.sharding import make_mesh
-                from qbot_tpu.utils.config import parse_mesh_shape
+                from qbot_tpu.utils.config import (
+                    auto_mesh_shape,
+                    parse_mesh_shape,
+                )
                 try:
-                    shape = (parse_mesh_shape(args.mesh) if args.mesh
-                             else (1, 2**args.shard))
+                    if args.mesh == "auto":
+                        # particles-only until register HBM forces qubit
+                        # shards (the measured SCALING_r04 policy); the
+                        # register width is read off the program's
+                        # initial qset when it lowers
+                        n_q = None
+                        try:
+                            from qbot_tpu.frontend.lowering import \
+                                lower_program
+                            with open(path, "r") as f:
+                                n_q = lower_program(f.read(),
+                                                    mid_measure=True).n
+                        except Exception:
+                            pass
+                        shape = auto_mesh_shape(len(jax.devices()), n_q)
+                        print(f"mesh auto: {shape[0]}x{shape[1]} "
+                              f"(particles x qubit-shards)",
+                              file=sys.stderr)
+                    else:
+                        shape = (parse_mesh_shape(args.mesh) if args.mesh
+                                 else (1, 2**args.shard))
                     ndev = shape[0] * shape[1]
                     if ndev > len(jax.devices()):
                         raise ValueError(

@@ -131,6 +131,19 @@ def apply_plan_ensemble(ens: QuantumEnsemble, plan: Plan,
 #     to the carrier at the materialisation point.
 
 _MASK_N_MIN = 14          # below this, (2,)*n views are cheap and exact
+# None = auto (tiled backends only: CPU has no (8,128) tiling and
+# compiles the high-rank staged ops pathologically slowly); tests force
+# True/False to differentially pin the two formulations to each other
+_FORCE_SAFE = None
+
+
+def _safe_layouts(n: int, t: int = 0) -> bool:
+    """Use the tiling-safe collapse formulations for this register?"""
+    if n < _MASK_N_MIN or t > 12:
+        return False
+    if _FORCE_SAFE is not None:
+        return _FORCE_SAFE
+    return jax.default_backend() != "cpu"
 
 
 def _local_tail(n: int):
@@ -213,7 +226,7 @@ def _outcome_split(psi, n: int, targets: Sequence[int]):
     targets = sorted(targets)
     t = len(targets)
     K = 2**t
-    if n >= _MASK_N_MIN and t <= 12:
+    if _safe_layouts(n, t):
         F, S, L = _carrier(n)
         p = _probs_by_reduce(psi, n, targets)
         inv = 1.0 / jnp.sqrt(jnp.clip(p, _MIN_P))
@@ -300,7 +313,7 @@ def _sum_over_targets(x, n: int, targets):
     lead = x.shape[:-1]
     off = len(lead)
     tset = set(targets)
-    if n < _STAGED_MIN:
+    if n < _STAGED_MIN or not _safe_layouts(n):
         v = x.reshape(lead + (2,) * n)
         v = jnp.sum(v, axis=tuple(off + q for q in targets))
         return v.reshape(lead + (-1,))
@@ -370,7 +383,7 @@ def _replace_block(state, n: int, targets: Sequence[int], k: int):
     targets = sorted(targets)
     t = len(targets)
     K = 2**t
-    if n >= _MASK_N_MIN and t <= 12:
+    if _safe_layouts(n, t):
         phi = _sum_over_targets(state, n, targets)   # (2, 2^{n-t})
         out = (_expand_over_targets(phi, n, targets)
                * _outcome_mask(n, targets, k))
@@ -442,7 +455,7 @@ def _discard_split(psi, n: int, targets: Sequence[int]):
     targets = sorted(targets)
     t = len(targets)
     K = 2**t
-    if n >= _MASK_N_MIN and t <= 12:
+    if _safe_layouts(n, t):
         F, S, L = _carrier(n)
         p = _probs_by_reduce(psi, n, targets)
         inv = 1.0 / jnp.sqrt(jnp.clip(p, _MIN_P))
@@ -499,7 +512,7 @@ def discard_sample(key: jax.Array, ens: QuantumEnsemble, n: int,
     B = ens.num_particles
     targets = sorted(targets)
     t = len(targets)
-    if n >= _MASK_N_MIN and t <= 12:
+    if _safe_layouts(n, t):
         # large registers: extract only the SAMPLED outcome's sub-block
         # (mask + staged sum), never the all-K states tensor
         p_all = jax.vmap(
@@ -567,7 +580,7 @@ def measure_sample(key: jax.Array, ens: QuantumEnsemble, n: int,
     B = ens.num_particles
     targets = sorted(targets)
     t = len(targets)
-    if n >= _MASK_N_MIN and t <= 12:
+    if _safe_layouts(n, t):
         # large registers: select ONE outcome's mask per particle — the
         # all-K projected-states tensor is K× the ensemble memory and
         # its padded layout OOMs at 24 qubits
@@ -638,7 +651,7 @@ def _insert_block(phi_planar, rest, n: int, targets: Sequence[int]):
     t = len(targets)
     pr, pi = phi_planar[0], phi_planar[1]
     rr, ri = rest[0], rest[1]
-    if n >= _MASK_N_MIN:
+    if _safe_layouts(n, t):
         sorted_t = sorted(targets)
         pre = _expand_phi_over_others(pr, n, list(targets))
         pie = _expand_phi_over_others(pi, n, list(targets))

@@ -366,17 +366,17 @@ def _outcome_split_local(psi, n_local: int, targets: Sequence[int],
     collapsed states normalised by GLOBAL p.
     """
     from qbot_tpu.inference.ensemble_exec import (
-        _MASK_N_MIN,
         _carrier,
         _outcome_mask,
         _probs_by_reduce,
+        _safe_layouts,
     )
 
     targets = sorted(targets)
     t = len(targets)
     K_l = 2**t
     K = K_l * 2 ** len(shard_positions)
-    safe = n_local >= _MASK_N_MIN and t <= 12
+    safe = _safe_layouts(n_local, t)
     if safe:
         # tiling-safe path (see ensemble_exec): grouped-view reduction
         # for the probabilities, diagonal bit masks for the projections
@@ -455,17 +455,17 @@ def _discard_split_local(psi, n_local: int, targets: Sequence[int],
                          q_axis: str, q_sharded: bool = True):
     """Shard-local ensemble_exec._discard_split (global-normalised)."""
     from qbot_tpu.inference.ensemble_exec import (
-        _MASK_N_MIN,
         _carrier,
         _outcome_mask,
         _probs_by_reduce,
+        _safe_layouts,
         _sum_over_targets,
     )
 
     targets = sorted(targets)
     t = len(targets)
     K = 2**t
-    if n_local >= _MASK_N_MIN and t <= 12:
+    if _safe_layouts(n_local, t):
         F, S, L = _carrier(n_local)
         p = _probs_by_reduce(psi, n_local, targets)
         if q_sharded:
@@ -777,9 +777,11 @@ def measure_sample_sharded(key, ens: ShardedEnsemble, n: int,
     Bl = B_total // emesh.P
     _count(stats, (1 if (shard_positions or q_sharded) else 0) + 2 + 1 + 2)
 
+    from qbot_tpu.inference.ensemble_exec import _safe_layouts
+
     t_l = len(sorted(local_targets))
     K_l = 2 ** t_l
-    safe = n_local >= 14 and t_l <= 12
+    safe = _safe_layouts(n_local, t_l)
 
     def body(log_w, psi, lost):
         if safe:
@@ -865,8 +867,10 @@ def discard_sample_sharded(key, ens: ShardedEnsemble, n: int,
     Bl = B_total // emesh.P
     _count(stats, (1 if q_sharded else 0) + 2 + 2)
 
+    from qbot_tpu.inference.ensemble_exec import _safe_layouts
+
     t_l = len(sorted(local_targets))
-    safe = n_local >= 14 and t_l <= 12
+    safe = _safe_layouts(n_local, t_l)
 
     def body(log_w, psi, lost):
         if safe:

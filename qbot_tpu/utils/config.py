@@ -9,6 +9,31 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 
+def auto_mesh_shape(n_devices: int, n_qubits=None,
+                    hbm_budget_bytes: float = 8e9) -> tuple[int, int]:
+    """The ``--mesh auto`` policy: particles-only until register HBM
+    forces qubit sharding.
+
+    SCALING_r03/r04 measured why: SMC weak-scaling on the particle axis
+    projects ~99.7% efficiency (zero comm bytes), while stacking qubit
+    model-parallelism adds localization all_to_alls at every collapse —
+    so the qubit axis is engaged only when a single device cannot hold
+    the planar register (2·2^n·4 bytes) within ``hbm_budget_bytes``
+    (default 8 GB: half a v5e's HBM, leaving room for the fan-out
+    working set).  Returns (particles, qubit_shards) with qubit_shards
+    the smallest power of two that fits the register.
+    """
+    if n_devices < 1:
+        raise ValueError(f"need at least one device, got {n_devices}")
+    if n_qubits is None:
+        return (n_devices, 1)
+    state = 2.0 * (2 ** n_qubits) * 4
+    q = 1
+    while state / q > hbm_budget_bytes and q < n_devices:
+        q *= 2
+    return (max(n_devices // q, 1), q)
+
+
 def parse_mesh_shape(spec: str) -> tuple[int, int]:
     """Parse and validate a ``--mesh PxQ`` value (particles x qubit-shards).
 
@@ -50,7 +75,9 @@ class EngineConfig:
     def from_args(args) -> "EngineConfig":
         mesh = None
         mesh_str = getattr(args, "mesh", None)
-        if mesh_str:
+        if mesh_str and mesh_str != "auto":
+            # "auto" resolves later, once the register width is known
+            # (auto_mesh_shape); it is not a static PxQ shape
             mesh = parse_mesh_shape(mesh_str)
         return EngineConfig(
             backend=getattr(args, "backend", "numpy"),

@@ -164,3 +164,35 @@ def test_precision_flag_sets_dot_mode(tmp_path):
     finally:
         from qbot_tpu.tpu.kernels import set_dot_mode
         set_dot_mode("f32")
+
+
+class TestAutoMesh:
+    """--mesh auto: the SCALING_r04 policy — particles-only until the
+    register needs qubit shards for HBM."""
+
+    def test_policy_function(self):
+        from qbot_tpu.utils.config import auto_mesh_shape
+
+        # small registers: all devices on the particle axis
+        assert auto_mesh_shape(8, 10) == (8, 1)
+        assert auto_mesh_shape(8, None) == (8, 1)
+        # a register over the budget splits the qubit axis minimally
+        assert auto_mesh_shape(8, 30, hbm_budget_bytes=2**30 * 4.0) \
+            == (4, 2)
+        assert auto_mesh_shape(8, 32, hbm_budget_bytes=2**30 * 4.0) \
+            == (1, 8)
+        with pytest.raises(ValueError):
+            auto_mesh_shape(0)
+
+    def test_cli_auto_mesh_runs(self, tmp_path, capsys):
+        from qbot_tpu.cli import main
+
+        prog = tmp_path / "p.qb"
+        prog.write_text("qset tensorExp(comp[0], 4)\n"
+                        "gate hadamardGate ; 0\n"
+                        "meas m ; computation ; [0]\n")
+        rc = main(["--compile", "--ensemble", "--mesh", "auto",
+                   str(prog)])
+        err = capsys.readouterr().err
+        assert rc == 0
+        assert "mesh auto:" in err

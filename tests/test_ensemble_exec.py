@@ -582,8 +582,9 @@ class TestTilingSafeCollapse:
                     np.asarray(s_out), np.asarray(s_ens.psi),
                     np.asarray(ds_ens.psi))
 
+        monkeypatch.setattr(ee, "_FORCE_SAFE", True)
         new = run_all()
-        monkeypatch.setattr(ee, "_MASK_N_MIN", 99)
+        monkeypatch.setattr(ee, "_FORCE_SAFE", False)
         old = run_all()
         for a, b in zip(new, old):
             np.testing.assert_allclose(a, b, atol=2e-6)
@@ -593,9 +594,10 @@ class TestTilingSafeCollapse:
 
         n = 17
         ens = self._rand_ens(n, B=2)
+        monkeypatch.setattr(ee, "_FORCE_SAFE", True)
         new_e, new_d = ee.measure_fanout(ens, n, [2, 16], 64,
                                          mode="reference")
-        monkeypatch.setattr(ee, "_MASK_N_MIN", 99)
+        monkeypatch.setattr(ee, "_FORCE_SAFE", False)
         old_e, old_d = ee.measure_fanout(ens, n, [2, 16], 64,
                                          mode="reference")
         np.testing.assert_allclose(np.asarray(new_d), np.asarray(old_d),
