@@ -79,6 +79,27 @@ def _count(stats, n: int) -> None:
 _NEG = -1e30          # dead-particle log-weight (exp underflows to 0)
 _MIN_P = 1e-12
 
+# Cached jitted executors.  Every executor builds its shard_map body as a
+# fresh closure, so a bare jax.jit(mapped) RE-TRACES on every call — a
+# real fraction of the measured 1.59x sharded-vs-unsharded overhead at
+# 24q (SCALING_r04 anchor).  The cache key carries every closure static
+# (sizes, targets, mode, mesh, axis names, dtype), so two closures with
+# the same key trace identical computations; anything dynamic (arrays,
+# PRNG keys) is an argument of the mapped function.
+_JIT_CACHE: dict = {}
+
+
+def _cached_jit(key, mapped):
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(mapped)
+        _JIT_CACHE[key] = fn
+    return fn
+
+
+def _mesh_key(emesh: EnsembleMesh):
+    return (emesh.mesh, emesh.p_axis, emesh.q_axis)
+
 
 @dataclass(frozen=True)
 class EnsembleMesh:
@@ -594,7 +615,10 @@ def measure_fanout_sharded(ens: ShardedEnsemble, n: int,
     mapped = _shard_map(body, mesh=emesh.mesh,
                         in_specs=(spec_w, spec_psi, P()),
                         out_specs=(spec_w, spec_psi, P(), P()))
-    log_w, psi, lost, dist = jax.jit(mapped)(
+    ck = ("mf", n, tuple(sorted(local_targets)), tuple(shard_positions),
+          q_sharded, mode, B_total, max_particles, _mesh_key(emesh),
+          ens.psi.dtype)
+    log_w, psi, lost, dist = _cached_jit(ck, mapped)(
         ens.log_w, ens.psi, jnp.asarray(ens.lost_mass, jnp.float32))
     return ShardedEnsemble(log_w, psi, lost), dist
 
@@ -694,7 +718,11 @@ def replace_fanout_sharded(ens: ShardedEnsemble, n: int,
     mapped = _shard_map(body, mesh=emesh.mesh,
                         in_specs=(spec_w, spec_psi, P()),
                         out_specs=(spec_w, spec_psi, P()))
-    log_w, psi, lost = jax.jit(mapped)(
+    ck = ("rf", n, tuple(local_targets), q_sharded, B_total,
+          max_particles, _mesh_key(emesh), ens.psi.dtype,
+          tuple((float(w), np.asarray(phi).tobytes())
+                for w, phi in new_states))
+    log_w, psi, lost = _cached_jit(ck, mapped)(
         ens.log_w, ens.psi, jnp.asarray(ens.lost_mass, jnp.float32))
     return ShardedEnsemble(log_w, psi, lost)
 
@@ -721,7 +749,9 @@ def peek_probs_sharded(ens: ShardedEnsemble, n: int,
 
     mapped = _shard_map(body, mesh=emesh.mesh,
                         in_specs=(spec_w, spec_psi), out_specs=P())
-    return jax.jit(mapped)(ens.log_w, ens.psi)
+    ck = ("pk", n, tuple(sorted(local_targets)), tuple(shard_positions),
+          q_sharded, ens.num_particles, _mesh_key(emesh), ens.psi.dtype)
+    return _cached_jit(ck, mapped)(ens.log_w, ens.psi)
 
 
 # ---------------------------------------------------------------------------
@@ -783,7 +813,7 @@ def measure_sample_sharded(key, ens: ShardedEnsemble, n: int,
     K_l = 2 ** t_l
     safe = _safe_layouts(n_local, t_l)
 
-    def body(log_w, psi, lost):
+    def body(rngkey, log_w, psi, lost):
         if safe:
             p_all = jax.vmap(
                 lambda s: _outcome_probs_local(
@@ -801,7 +831,7 @@ def measure_sample_sharded(key, ens: ShardedEnsemble, n: int,
 
         shard = jax.lax.axis_index(emesh.p_axis)
         gidx = shard * Bl + jnp.arange(Bl)
-        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(gidx)
+        keys = jax.vmap(lambda i: jax.random.fold_in(rngkey, i))(gidx)
         outcomes = jax.vmap(
             lambda kk, lp: jax.random.categorical(kk, lp)
         )(keys, jnp.log(jnp.clip(p_all, _MIN_P)))
@@ -838,17 +868,20 @@ def measure_sample_sharded(key, ens: ShardedEnsemble, n: int,
         s1 = jax.lax.psum(jnp.sum(jnp.exp(lw_n)), emesh.p_axis)
         s2 = jax.lax.psum(jnp.sum(jnp.exp(2.0 * lw_n)), emesh.p_axis)
         ess_frac = (s1 * s1) / jnp.clip(s2, _MIN_P) / B_total
-        rkey = jax.random.fold_in(key, 2_000_000_000 + shard)
+        rkey = jax.random.fold_in(rngkey, 2_000_000_000 + shard)
         new_lw, new_psi = _island_resample(rkey, log_w, new_psi, ess_frac,
                                            emesh.p_axis,
                                            threshold=ess_threshold)
         return new_lw, new_psi, lost, dist
 
     mapped = _shard_map(body, mesh=emesh.mesh,
-                        in_specs=(spec_w, spec_psi, P()),
+                        in_specs=(P(), spec_w, spec_psi, P()),
                         out_specs=(spec_w, spec_psi, P(), P()))
-    log_w, psi, lost, dist = jax.jit(mapped)(
-        ens.log_w, ens.psi, jnp.asarray(ens.lost_mass, jnp.float32))
+    ck = ("ms", n, tuple(sorted(local_targets)), tuple(shard_positions),
+          q_sharded, B_total, float(ess_threshold), _mesh_key(emesh),
+          ens.psi.dtype)
+    log_w, psi, lost, dist = _cached_jit(ck, mapped)(
+        key, ens.log_w, ens.psi, jnp.asarray(ens.lost_mass, jnp.float32))
     return ShardedEnsemble(log_w, psi, lost), dist
 
 
@@ -872,7 +905,7 @@ def discard_sample_sharded(key, ens: ShardedEnsemble, n: int,
     t_l = len(sorted(local_targets))
     safe = _safe_layouts(n_local, t_l)
 
-    def body(log_w, psi, lost):
+    def body(rngkey, log_w, psi, lost):
         if safe:
             p_all = jax.vmap(
                 lambda s: _outcome_probs_local(
@@ -885,7 +918,7 @@ def discard_sample_sharded(key, ens: ShardedEnsemble, n: int,
                                                q_sharded))(psi)
         shard = jax.lax.axis_index(emesh.p_axis)
         gidx = shard * Bl + jnp.arange(Bl)
-        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(gidx)
+        keys = jax.vmap(lambda i: jax.random.fold_in(rngkey, i))(gidx)
         outcomes = jax.vmap(
             lambda kk, lp: jax.random.categorical(kk, lp)
         )(keys, jnp.log(jnp.clip(p_all, _MIN_P)))
@@ -917,17 +950,19 @@ def discard_sample_sharded(key, ens: ShardedEnsemble, n: int,
         s1 = jax.lax.psum(jnp.sum(jnp.exp(lw_n)), emesh.p_axis)
         s2 = jax.lax.psum(jnp.sum(jnp.exp(2.0 * lw_n)), emesh.p_axis)
         ess_frac = (s1 * s1) / jnp.clip(s2, _MIN_P) / B_total
-        rkey = jax.random.fold_in(key, 2_000_000_000 + shard)
+        rkey = jax.random.fold_in(rngkey, 2_000_000_000 + shard)
         new_lw, new_psi = _island_resample(rkey, log_w, new_psi, ess_frac,
                                            emesh.p_axis,
                                            threshold=ess_threshold)
         return new_lw, new_psi, lost
 
     mapped = _shard_map(body, mesh=emesh.mesh,
-                        in_specs=(spec_w, spec_psi, P()),
+                        in_specs=(P(), spec_w, spec_psi, P()),
                         out_specs=(spec_w, spec_psi, P()))
-    log_w, psi, lost = jax.jit(mapped)(
-        ens.log_w, ens.psi, jnp.asarray(ens.lost_mass, jnp.float32))
+    ck = ("ds", n, tuple(sorted(local_targets)), q_sharded, B_total,
+          float(ess_threshold), _mesh_key(emesh), ens.psi.dtype)
+    log_w, psi, lost = _cached_jit(ck, mapped)(
+        key, ens.log_w, ens.psi, jnp.asarray(ens.lost_mass, jnp.float32))
     return ShardedEnsemble(log_w, psi, lost)
 
 
@@ -1027,7 +1062,9 @@ def prune_sharded(ens: ShardedEnsemble, max_particles: int,
     mapped = _shard_map(body, mesh=emesh.mesh,
                         in_specs=(spec_w, spec_psi, P()),
                         out_specs=(spec_w, spec_psi, P()))
-    log_w, psi, lost = jax.jit(mapped)(
+    ck = ("pr", quota, B, q_sharded, _mesh_key(emesh), ens.psi.dtype,
+          ens.psi.shape)
+    log_w, psi, lost = _cached_jit(ck, mapped)(
         ens.log_w, ens.psi, jnp.asarray(ens.lost_mass, jnp.float32))
     return ShardedEnsemble(log_w, psi, lost)
 
