@@ -194,7 +194,10 @@ def tpu_general() -> dict:
     kernels.set_kernel_mode("on")
     kernels.set_dot_mode("bf16_3x")
     jax.clear_caches()
-    run = make_scanned_planar_runner(plan, GENERAL_REPEATS)
+    # re-rank under the bf16_3x cost model: the MXU-bound windows halve,
+    # so the auto search may prefer wider windows than the f32 plan
+    plan_bf = compile_circuit(body, window="auto")
+    run = make_scanned_planar_runner(plan_bf, GENERAL_REPEATS)
     bf_compile_s, _ = _timed(run, psi0)
     bf_elapsed, bf_out = min((_timed(run, psi0) for _ in range(2)),
                              key=lambda t: t[0])
