@@ -53,7 +53,8 @@ def _shard_map(f, *, mesh, in_specs, out_specs):
         return _raw_shard_map(f, mesh=mesh, in_specs=in_specs,
                               out_specs=out_specs)
 
-__all__ = ["ShardedPlan", "compile_sharded", "make_sharded_planar_runner",
+__all__ = ["ShardedPlan", "compile_sharded", "splan_cache_key",
+           "make_sharded_planar_runner",
            "sharded_zero_state", "sharded_probs_fn", "unpermute_planar",
            "ShardedReflect", "LocalPerm", "BitSwap",
            "plan_reshards_to_localize", "plan_perm_to_identity",
@@ -264,6 +265,116 @@ class ShardedPlan:
 
 def _support(op: CircuitOp) -> tuple[int, ...]:
     return tuple(op.controls) + tuple(op.targets)
+
+
+def splan_cache_key(splan: "ShardedPlan"):
+    """Content digest of a ShardedPlan for executor caching, or None when
+    the plan is not content-addressable (parameterised gate makers).
+
+    Two structurally-identical plans — e.g. the same program segment
+    recompiled on a later run — digest equal, so the ensemble executor
+    can reuse its jitted shard_map callable instead of re-tracing (the
+    per-segment re-trace is the dominant residual overhead the
+    SCALING_r04 anchor measured).  Every behaviourally-relevant field is
+    hashed: step geometry, static matrices/diagonals byte-wise, fused
+    flips/phases, item parameters, and the plan header.
+    """
+    import hashlib
+
+    from qbot_tpu.tpu.compiler import (
+        ContractStep,
+        DiagStep,
+        FlipStep,
+        PairStep,
+        PhaseStep,
+        ReflectStep,
+        WindowStep,
+    )
+
+    h = hashlib.sha1()
+
+    def u(*parts):
+        for x in parts:
+            h.update(repr(x).encode())
+            h.update(b";")
+
+    def arr(a):
+        a = np.asarray(a)
+        u("A", a.dtype.str, a.shape)
+        h.update(a.tobytes())
+
+    def term(t) -> bool:
+        if t.maker is not None:
+            return False
+        u("T", t.positions, t.param_idx, t.num_controls)
+        if t.matrix is None:
+            return False
+        arr(t.matrix)
+        return True
+
+    def step(st) -> bool:
+        if isinstance(st, WindowStep):
+            u("W", st.start, st.width, st.pre_flips)
+            for ph in st.pre_phases:
+                u("ph", ph[0], complex(ph[1]),
+                  ph[2] if len(ph) > 2 else -1)
+            return all(term(t) for t in st.terms)
+        if isinstance(st, PairStep):
+            u("P2")
+            return step(st.first) and step(st.second)
+        if isinstance(st, DiagStep):
+            u("D", st.targets)
+            arr(st.diag)
+            return True
+        if isinstance(st, FlipStep):
+            u("F", st.index)
+            return True
+        if isinstance(st, PhaseStep):
+            u("Ph", st.qubits, complex(st.phase), st.pattern)
+            return True
+        if isinstance(st, ContractStep):
+            if st.maker is not None:
+                return False
+            u("C", st.targets, st.num_controls)
+            arr(st.matrix)
+            return True
+        if isinstance(st, ReflectStep):
+            u("R", st.pre_flips)
+            for f in st.factors:
+                arr(f)
+            return True
+        return False
+
+    u("hdr", splan.n, splan.k, splan.num_params)
+    for item in splan.items:
+        if isinstance(item, LocalSegment):
+            pl = item.plan
+            u("LS", pl.n, pl.window, getattr(pl, "engine", "pallas"),
+              pl.num_params)
+            for st in pl.steps:
+                if not step(st):
+                    return None
+        elif isinstance(item, Reshard):
+            u("RS", item.m)
+        elif isinstance(item, ShardedFlip):
+            u("SF", item.owner, item.local_index)
+        elif isinstance(item, ShardedDiag):
+            u("SD", item.positions)
+            arr(item.diag)
+        elif isinstance(item, ShardedReflect):
+            u("SR")
+            for f in item.shard_factors:
+                arr(f)
+            u("|")
+            for f in item.local_factors:
+                arr(f)
+        elif isinstance(item, LocalPerm):
+            u("LP", item.order)
+        elif isinstance(item, BitSwap):
+            u("BS", item.shard_pos, item.local_axis)
+        else:
+            return None
+    return h.digest()
 
 
 def compile_sharded(circ: Circuit, k: int, window: int = 7,

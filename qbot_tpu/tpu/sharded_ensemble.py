@@ -340,7 +340,16 @@ def apply_sharded_plan_ensemble(ens: ShardedEnsemble, splan: ShardedPlan,
                         in_specs=(spec_psi, P()), out_specs=spec_psi)
     if params is None:
         params = jnp.zeros((max(splan.num_params, 1),), ens.psi.dtype)
-    psi = jax.jit(mapped)(ens.psi, params)
+    from qbot_tpu.tpu import kernels
+    from qbot_tpu.tpu.sharded import splan_cache_key
+
+    digest = splan_cache_key(splan)
+    if digest is None:                 # parameterised plan: not cacheable
+        psi = jax.jit(mapped)(ens.psi, params)
+    else:
+        ck = ("ap", digest, _mesh_key(emesh), ens.psi.shape,
+              ens.psi.dtype, kernels.dot_mode())
+        psi = _cached_jit(ck, mapped)(ens.psi, params)
     return ShardedEnsemble(ens.log_w, psi, ens.lost_mass)
 
 

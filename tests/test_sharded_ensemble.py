@@ -449,3 +449,54 @@ class TestShardedDotEngine:
         for name in ("m", "w"):
             np.testing.assert_allclose(res_auto[name].probs,
                                        ref_results[name].probs, atol=1e-5)
+
+
+class TestExecutorJitCache:
+    """Per-segment executor caching: structurally-equal plans digest
+    equal and reuse the jitted callable; content changes and param
+    makers do not."""
+
+    def _plan(self, seed=1, theta=None):
+        from qbot_tpu.tpu.circuit import Circuit
+        from qbot_tpu.tpu.sharded import compile_sharded
+
+        rng = np.random.default_rng(seed)
+        c = Circuit(5)
+        z = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+        q, r = np.linalg.qr(z)
+        c.gate(q, [2])
+        c.gate(np.array([[0, 1], [1, 0]], complex), [4], controls=[3])
+        if theta is not None:
+            c.prx(1)
+        return compile_sharded(c, 1)
+
+    def test_digest_equality_and_sensitivity(self):
+        from qbot_tpu.tpu.sharded import splan_cache_key
+
+        a = splan_cache_key(self._plan(seed=1))
+        b = splan_cache_key(self._plan(seed=1))
+        cdiff = splan_cache_key(self._plan(seed=2))
+        assert a is not None and a == b
+        assert a != cdiff
+        # parameterised makers are not content-addressable
+        assert splan_cache_key(self._plan(seed=1, theta=0.3)) is None
+
+    def test_rebuilt_plan_reuses_cached_executor(self):
+        import qbot_tpu.tpu.sharded_ensemble as se
+        from qbot_tpu.tpu.planar import to_planar
+        from qbot_tpu.tpu.sharded_ensemble import (
+            EnsembleMesh,
+            apply_sharded_plan_ensemble,
+            init_sharded_ensemble,
+        )
+
+        emesh = EnsembleMesh(_mesh(2, 2))
+        psi = to_planar(np.eye(2**5)[:, 0].astype(complex))
+        ens = init_sharded_ensemble(np.stack([psi, psi]), emesh)
+        se._JIT_CACHE.clear()
+        out1 = apply_sharded_plan_ensemble(ens, self._plan(seed=3), emesh)
+        n_after_first = len(se._JIT_CACHE)
+        out2 = apply_sharded_plan_ensemble(ens, self._plan(seed=3), emesh)
+        assert len(se._JIT_CACHE) == n_after_first   # reused, not re-added
+        np.testing.assert_allclose(np.asarray(out1.psi),
+                                   np.asarray(out2.psi), atol=1e-7)
