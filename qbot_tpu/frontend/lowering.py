@@ -652,28 +652,28 @@ def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
         apply_plan_ensemble,
         discard_fanout,
         discard_sample,
-        init_ensemble,
         init_mixed_ensemble,
+        init_product_ensemble,
         measure_fanout,
         measure_sample,
         peek_probs,
     )
     from qbot_tpu.tpu.compiler import compile_circuit
-    from qbot_tpu.tpu.planar import to_planar
 
     if lp.initial_density is not None:
         ens = init_mixed_ensemble(lp.initial_density)
+        if sample:
+            reps = max(1, sample // ens.num_particles)
+            ens = QuantumEnsemble(
+                jnp.repeat(ens.log_w, reps) - np.log(reps),
+                jnp.repeat(ens.psi, reps, axis=0))
     else:
-        psi0 = np.array([1.0 + 0j])
-        for ket in lp.initial_kets:
-            psi0 = np.kron(psi0, ket)
-        psi0 = psi0 / np.linalg.norm(psi0)
-        ens = init_ensemble(jnp.asarray(to_planar(psi0)))
+        # product-state prep + SMC replication build ON DEVICE in one
+        # jitted call (init_product_ensemble): at 24+ qubits the host
+        # kron + device_put path costs seconds of tunnel transfer
+        ens = init_product_ensemble(lp.initial_kets,
+                                    B=max(1, sample))
     if sample:
-        reps = max(1, sample // ens.num_particles)
-        ens = QuantumEnsemble(
-            jnp.repeat(ens.log_w, reps) - np.log(reps),
-            jnp.repeat(ens.psi, reps, axis=0))
         key = jax.random.PRNGKey(seed)
 
     all_ops = list(lp.circuit.ops)
@@ -1007,6 +1007,7 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
         apply_sharded_plan_ensemble,
         discard_fanout_sharded,
         discard_sample_sharded,
+        init_product_sharded_ensemble,
         init_sharded_ensemble,
         maybe_exchange_islands,
         measure_fanout_sharded,
@@ -1026,29 +1027,28 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
 
     # --- initial ensemble -------------------------------------------------
     if lp.initial_density is not None:
+        # mixed prep: host eigh of the (small-n by construction) density,
+        # SMC replication on the host rows BEFORE padding — the arrays
+        # here are tiny, unlike the kets path below
         rho = np.asarray(lp.initial_density, complex)
         vals, vecs = np.linalg.eigh(rho)
         keep = vals > 1e-12
         vals, vecs = vals[keep], vecs[:, keep]
         psi0 = np.stack([to_planar(vecs[:, i])
                          for i in range(vals.shape[0])])
-        ens = init_sharded_ensemble(
-            psi0, emesh, log_w=np.log(vals / vals.sum()))
+        lw = np.log(vals / vals.sum())
+        if sample:
+            reps = max(1, sample // psi0.shape[0])
+            psi0 = np.repeat(psi0, reps, axis=0)
+            lw = np.repeat(lw, reps) - np.log(reps)
+        ens = init_sharded_ensemble(psi0, emesh, log_w=lw)
     else:
-        flat = np.array([1.0 + 0j])
-        for ket in lp.initial_kets:
-            flat = np.kron(flat, ket)
-        flat = flat / np.linalg.norm(flat)
-        ens = init_sharded_ensemble(to_planar(flat), emesh)
+        # product prep + SMC replication built ON DEVICE into the mesh
+        # sharding (one jitted call): the round-4 anchor spent ~22 s of
+        # its 24 s wall on host<->device transfers of this array
+        ens = init_product_sharded_ensemble(lp.initial_kets, emesh,
+                                            B=max(1, sample))
     if sample:
-        reps = max(1, sample // max(1, int(
-            np.sum(np.asarray(ens.log_w) > -1e29))))
-        lw = np.asarray(ens.log_w)
-        live = lw > -1e29
-        lw_live, psi_live = lw[live], np.asarray(ens.psi)[live]
-        ens = init_sharded_ensemble(
-            np.repeat(psi_live, reps, axis=0), emesh,
-            log_w=np.repeat(lw_live, reps) - np.log(reps))
         key = jax.random.PRNGKey(seed)
 
     all_ops = list(lp.circuit.ops)
@@ -1434,19 +1434,21 @@ def run_lowered(lp: LoweredProgram, window: int = 7, use_planar: bool = True):
     from qbot_tpu.tpu.planar import (
         apply_plan_planar,
         planar_probs,
-        to_planar,
+        product_state_planar,
     )
     from qbot_tpu.tpu.simulator import apply_plan, computation_probs
 
-    psi0 = np.array([1.0 + 0j])
-    for ket in lp.initial_kets:
-        psi0 = np.kron(psi0, ket)
     plan = compile_circuit(lp.circuit, window=window)
 
     if use_planar:
-        psi = apply_plan_planar(jnp.asarray(to_planar(psi0)), plan)
+        # product prep built on device (no host kron / big device_put)
+        psi = apply_plan_planar(product_state_planar(lp.initial_kets),
+                                plan)
         probs_fn = lambda targets: planar_probs(psi, targets, lp.n)
     else:
+        psi0 = np.array([1.0 + 0j])
+        for ket in lp.initial_kets:
+            psi0 = np.kron(psi0, ket)
         psi = apply_plan(jnp.asarray(psi0, dtype=jnp.complex64), plan)
         probs_fn = lambda targets: computation_probs(psi, targets, lp.n)
 

@@ -67,6 +67,30 @@ def init_ensemble(psi0: jax.Array) -> QuantumEnsemble:
     return QuantumEnsemble(jnp.zeros((1,)), psi0[None])
 
 
+_PRODUCT_BATCH_CACHE: dict = {}
+
+
+def init_product_ensemble(kets, B: int = 1) -> QuantumEnsemble:
+    """Uniform B-particle ensemble of the product state ⊗kets, built ON
+    DEVICE (one jitted call; see planar.product_state_planar — the big
+    array never crosses the host↔device boundary).  Used by the runners
+    for register prep and for SMC-mode particle replication, replacing a
+    host kron + multi-second device_put through the remote tunnel."""
+    from qbot_tpu.tpu.planar import product_state_planar
+
+    psi1 = product_state_planar(kets)
+    if B == 1:
+        return init_ensemble(psi1)
+    key = ("tile", B, psi1.shape)
+    fn = _PRODUCT_BATCH_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda p: jnp.broadcast_to(p[None], (B,) + p.shape))
+        _PRODUCT_BATCH_CACHE[key] = fn
+    # default float dtype (matches init_ensemble's zeros: f64 on x64 CPU
+    # conformance runs, f32 on device)
+    return QuantumEnsemble(jnp.full((B,), -np.log(B)), fn(psi1))
+
+
 def _prune(log_w, psi, max_particles: int, lost_mass):
     """Keep the heaviest ``max_particles`` branches; renormalise.
 

@@ -44,12 +44,73 @@ from qbot_tpu.tpu.compiler import (
 )
 
 __all__ = ["zero_state_planar", "to_planar", "from_planar",
+           "product_state_planar",
            "apply_plan_planar", "make_planar_runner",
            "make_scanned_planar_runner", "planar_probs", "planar_norm",
            "zero_density_planar", "apply_plan_density_planar",
            "make_planar_density_runner", "planar_density_probs"]
 
 REAL_DTYPE = jnp.float32
+
+# Below this flat dimension the host kron + one tiny transfer is cheaper
+# than compiling a device build (and keeps small-n conformance tests on
+# the exact complex128 host arithmetic).  Above it, host->device transfer
+# dominates everything: the axon tunnel moves ~60 MB/s, so a 26-qubit
+# planar state (512 MB) costs ~8 s to upload but ~50 ms to BUILD on the
+# device (measured, benchmarks/diag_anchor_tx.py).
+_DEVICE_BUILD_MIN_DIM = 2 ** 16
+_PRODUCT_CACHE: dict = {}
+
+
+def product_state_planar(kets, dtype=np.float32) -> jnp.ndarray:
+    """Planar (2, 2^n) normalised product state ⊗kets, built ON DEVICE.
+
+    The reference preps registers by host-side ``np.kron`` chains
+    (/root/reference/qbot/density.py:7-23 via operators.qset); at TPU
+    scale the resulting array must never cross the host↔device boundary —
+    a 24-qubit upload costs seconds through the remote tunnel while the
+    kron chain itself is microseconds of device compute.  Each ket is a
+    small host array baked into the jitted build as a literal; one jit
+    call materialises the full state directly in HBM.
+
+    Small registers (< ``_DEVICE_BUILD_MIN_DIM`` amplitudes) keep the
+    host complex128 kron (bit-identical to the reference's arithmetic,
+    no compile churn in tests).
+    """
+    kets = [np.asarray(k, np.complex128).ravel() for k in kets]
+    dim = 1
+    for k in kets:
+        dim *= k.shape[0]
+    if dim < _DEVICE_BUILD_MIN_DIM:
+        flat = np.array([1.0 + 0j])
+        for k in kets:
+            flat = np.kron(flat, k)
+        flat = flat / np.linalg.norm(flat)
+        return jnp.asarray(to_planar(flat, dtype))
+
+    key = (tuple(k.tobytes() for k in kets), np.dtype(dtype).str)
+    fn = _PRODUCT_CACHE.get(key)
+    if fn is None:
+        planar_kets = [np.stack([k.real, k.imag]).astype(dtype)
+                       for k in kets]
+
+        def build():
+            r = jnp.ones((1,), dtype)
+            i = jnp.zeros((1,), dtype)
+            for pk in planar_kets:
+                br = jnp.asarray(pk[0])
+                bi = jnp.asarray(pk[1])
+                nr = (r[:, None] * br[None, :]
+                      - i[:, None] * bi[None, :]).reshape(-1)
+                ni = (r[:, None] * bi[None, :]
+                      + i[:, None] * br[None, :]).reshape(-1)
+                r, i = nr, ni
+            nrm = jnp.sqrt(jnp.sum(r * r + i * i))
+            return jnp.stack([r, i]) / nrm
+
+        fn = jax.jit(build)
+        _PRODUCT_CACHE[key] = fn
+    return fn()
 
 
 def zero_state_planar(n: int, dtype=REAL_DTYPE) -> jnp.ndarray:

@@ -59,6 +59,7 @@ from qbot_tpu.tpu.sharded import (
 )
 
 __all__ = ["EnsembleMesh", "ShardedEnsemble", "init_sharded_ensemble",
+           "init_product_sharded_ensemble",
            "apply_sharded_plan_ensemble", "measure_fanout_sharded",
            "discard_fanout_sharded", "measure_sample_sharded",
            "discard_sample_sharded", "peek_probs_sharded",
@@ -179,6 +180,62 @@ def init_sharded_ensemble(psi0, emesh: EnsembleMesh,
         jax.device_put(jnp.asarray(psi0),
                        NamedSharding(emesh.mesh, spec_psi)),
         0.0)
+
+
+def init_product_sharded_ensemble(kets, emesh: EnsembleMesh, B: int = 1,
+                                  q_sharded: bool = True
+                                  ) -> ShardedEnsemble:
+    """Uniform B-particle ensemble of the product state ⊗kets, built ON
+    DEVICE directly into the mesh sharding.
+
+    The round-4 anchor spent ~22 of its 24 s wall moving the initial
+    ensemble through the axon host↔device tunnel (128 MB device_put +
+    128 MB pull-back + 1 GB re-upload for SMC replication — measured in
+    benchmarks/diag_anchor_tx.py at ~60 MB/s up / ~22 MB/s down), while
+    building the same arrays on-device takes ~50 ms.  This constructor
+    jits the kron chain + particle tile with ``out_shardings`` so the
+    state materialises sharded in HBM and never exists on the host.
+
+    ``B`` is padded with dead (weight-0) particles to a multiple of the
+    particle-shard count; dead rows carry copies of the state (their
+    weight annihilates every contribution, same as zero rows).
+    """
+    from qbot_tpu.tpu.planar import (
+        _DEVICE_BUILD_MIN_DIM,
+        product_state_planar,
+        to_planar,
+    )
+
+    kets = [np.asarray(k, np.complex128).ravel() for k in kets]
+    dim = 1
+    for kt in kets:
+        dim *= kt.shape[0]
+    if dim < _DEVICE_BUILD_MIN_DIM:
+        flat = np.array([1.0 + 0j])
+        for kt in kets:
+            flat = np.kron(flat, kt)
+        flat = flat / np.linalg.norm(flat)
+        psi0 = np.broadcast_to(to_planar(flat), (B, 2, dim))
+        lw = np.full((B,), -np.log(B), np.float32)
+        return init_sharded_ensemble(psi0, emesh, log_w=lw,
+                                     q_sharded=q_sharded)
+
+    B_pad = B + (-B) % emesh.P
+    spec_w, spec_psi = emesh.specs(q_sharded)
+    psi1 = product_state_planar(kets)        # (2, dim) on device
+    ck = ("ip", B_pad, dim, _mesh_key(emesh), q_sharded)
+    fn = _JIT_CACHE.get(ck)
+    if fn is None:
+        fn = jax.jit(
+            lambda p: jnp.broadcast_to(p[None], (B_pad, 2, dim)),
+            out_shardings=NamedSharding(emesh.mesh, spec_psi))
+        _JIT_CACHE[ck] = fn
+    psi = fn(psi1)
+    lw = np.concatenate([np.full((B,), -np.log(B), np.float32),
+                         np.full((B_pad - B,), _NEG, np.float32)])
+    log_w = jax.device_put(jnp.asarray(lw),
+                           NamedSharding(emesh.mesh, spec_w))
+    return ShardedEnsemble(log_w, psi, 0.0)
 
 
 # ---------------------------------------------------------------------------
