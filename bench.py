@@ -49,6 +49,31 @@ def _timed(run, psi):
     return time.perf_counter() - t0, out
 
 
+def _timed_stages(run, psi):
+    """Split cold-start cost into its stages via the AOT API (VERDICT r4
+    weak #1: one opaque compile+first-run number hid WHERE the ~50 s
+    went).  Returns (stages dict, out):
+
+    * ``trace_s``   — Python tracing + StableHLO lowering (host CPU);
+    * ``backend_s`` — ``lowered.compile()``: persistent-cache lookup +
+      executable deserialization, or the axon remote-compile round trip
+      on a miss — the part external service latency lives in;
+    * ``first_run_s`` — first dispatch + device execution + sync.
+    """
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    lowered = run.lower(psi)
+    t1 = time.perf_counter()
+    compiled = lowered.compile()
+    t2 = time.perf_counter()
+    out = compiled(psi)
+    _ = float(jnp.asarray(out[0, 0]))
+    t3 = time.perf_counter()
+    return {"trace_s": t1 - t0, "backend_s": t2 - t1,
+            "first_run_s": t3 - t2, "total_s": t3 - t0}, out
+
+
 def tpu_grover() -> tuple[float, dict]:
     import jax
     import jax.numpy as jnp
@@ -78,7 +103,8 @@ def tpu_grover() -> tuple[float, dict]:
     psi0 = zero_state_planar(n)
 
     with CacheHitProbe() as probe:
-        compile_s, out = _timed(run, psi0)     # compile + first run
+        stages, out = _timed_stages(run, psi0)  # staged compile+first run
+    compile_s = stages["total_s"]
     elapsed = min(_timed(run, psi0)[0] for _ in range(2))
     _, out = _timed(run, psi0)
 
@@ -97,6 +123,9 @@ def tpu_grover() -> tuple[float, dict]:
         "grover_iterations": GROVER_REPEATS,
         "hbm_passes_per_iteration": body_plan.num_passes,
         "compile_seconds": round(compile_s, 2),
+        "compile_trace_seconds": round(stages["trace_s"], 2),
+        "compile_backend_seconds": round(stages["backend_s"], 2),
+        "compile_first_run_seconds": round(stages["first_run_s"], 2),
         "compile_cache_evidence": probe.verdict(),
         "run_seconds": round(elapsed, 4),
         "marked_prob": round(p_marked, 8),
@@ -233,6 +262,78 @@ def tpu_general() -> dict:
     }
 
 
+SMC_QUBITS = 24
+SMC_PARTICLES = 32
+
+
+def tpu_smc() -> dict:
+    """The north-star probabilistic-computing workload (BASELINE.json
+    config 5): SMC particles through a 24-qubit mid-measurement program
+    in sample mode (constant memory) on the sharded-ensemble mesh path.
+
+    This is the engine that replaces the reference's measurement/branch
+    loop (/root/reference/qbot/measurement.py:107-165 +
+    probVal.py:347-390); a "sample" is one full particle trajectory
+    through the program (4 collapse events).  The program matches the
+    SCALING anchors (rounds 3-5) for cross-artifact comparability.
+    """
+    import jax
+
+    from qbot_tpu.frontend.lowering import (
+        lower_program,
+        run_lowered_sharded_ensemble,
+    )
+    from qbot_tpu.tpu.sharding import make_mesh
+    from qbot_tpu.utils.compile_cache import CacheHitProbe
+
+    n = SMC_QUBITS
+
+    def layers():
+        out = []
+        for q in range(0, n, 3):
+            out.append(f"gate hadamardGate ; {q}")
+        for q in range(0, n - 1, 3):
+            out.append(f"gate pauliXGate ; {q + 1} ; [{q}]")
+        return out
+
+    lines = [f"qset tensorExp(computation.kets[0], {n})"]
+    lines += layers()
+    lines += ["meas a ; computation ; [0]"]
+    lines += layers()
+    lines += [f"gate hadamardGate ; {n // 2}",
+              f"meas b ; computation ; [{n // 2}]"]
+    lines += layers()
+    lines += [f"disc [{n - 1}]", "meas c ; computation ; [1, 2]"]
+    src = "\n".join(lines)
+
+    mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+    walls = []
+    with CacheHitProbe() as probe:
+        for _ in range(3):
+            stats: dict = {}
+            lp = lower_program(src, mid_measure=True)
+            t0 = time.perf_counter()
+            res, _, _, _ = run_lowered_sharded_ensemble(
+                lp, mesh=mesh, sample=SMC_PARTICLES, seed=0, stats=stats)
+            walls.append(time.perf_counter() - t0)
+    for r in ("a", "b", "c"):
+        assert abs(sum(res[r].probs) - 1.0) < 1e-3
+    wall = min(walls[1:])            # warm (first run pays cache loads)
+    events = stats["collapse_events"]
+    return {
+        "smc_samples_per_s": round(SMC_PARTICLES / wall, 1),
+        "smc_qubits": n,
+        "smc_particles": SMC_PARTICLES,
+        "smc_collapse_events": events,
+        "smc_wall_s": round(wall, 3),
+        "smc_first_run_s": round(walls[0], 3),
+        "smc_per_collapse_wall_s": round(wall / events, 3),
+        "smc_effective_hbm_gb_per_s": round(
+            stats["hbm_bytes"] / wall / 1e9, 2),
+        "smc_compile_cache_evidence": probe.verdict(),
+    }
+
+
 def numpy_baseline_gates_per_sec() -> float:
     """Same task on CPU NumPy: contraction-based statevector gate apply.
 
@@ -268,6 +369,7 @@ def main():
     # load executables in ~0.3 s each.
     value, info = tpu_grover()
     general = tpu_general()
+    smc = tpu_smc()
     baseline = numpy_baseline_gates_per_sec()
     out = {
         "metric": f"gate-applications/s/chip @ {N} qubits (Grover, "
@@ -279,6 +381,7 @@ def main():
         "compile_cache": "warm" if warm else "cold",
         **info,
         **general,
+        **smc,
     }
     print(json.dumps(out))
 

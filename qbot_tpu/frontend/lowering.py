@@ -1025,7 +1025,28 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
     emesh = EnsembleMesh(mesh)
     k = emesh.k
 
+    # --- phase-wall instrumentation ---------------------------------------
+    # stats["phase_walls"] buckets host wall-clock per phase (init /
+    # segment / collapse / exchange / fetch / tail).  Dispatch is async:
+    # un-synced buckets measure SUBMIT time; setting
+    # stats["sync_phases"]=True drains the device pipeline after every
+    # phase so each bucket carries that phase's device time too — the
+    # per-collapse breakdown artifact (benchmarks/scaling_r05.py).
+    import time as _time
+
+    sync_phases = bool(stats.get("sync_phases")) if stats else False
+
+    def _bucket(name: str, dt: float) -> None:
+        if stats is not None:
+            pw = stats.setdefault("phase_walls", {})
+            pw[name] = pw.get(name, 0.0) + dt
+
+    def _drain(e) -> None:
+        if sync_phases:
+            _ = float(np.asarray(e.psi[(0,) * e.psi.ndim]))
+
     # --- initial ensemble -------------------------------------------------
+    _t0 = _time.perf_counter()
     if lp.initial_density is not None:
         # mixed prep: host eigh of the (small-n by construction) density,
         # SMC replication on the host rows BEFORE padding — the arrays
@@ -1048,6 +1069,8 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
         # its 24 s wall on host<->device transfers of this array
         ens = init_product_sharded_ensemble(lp.initial_kets, emesh,
                                             B=max(1, sample))
+    _drain(ens)
+    _bucket("init", _time.perf_counter() - _t0)
     if sample:
         key = jax.random.PRNGKey(seed)
 
@@ -1074,13 +1097,18 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
 
         mgr = make_checkpoint_manager(checkpoint_dir)
         if mgr.latest_step() is not None:
-            arrays, meta = mgr.restore()
+            spec_w, spec_psi = emesh.specs(q_sharded=True)
+            # restore shard-wise straight into the mesh layout (orbax
+            # reads each shard onto its owning devices; the device_put
+            # below is then a no-op re-assertion)
+            arrays, meta = mgr.restore(shardings={
+                "log_w": NamedSharding(emesh.mesh, spec_w),
+                "psi": NamedSharding(emesh.mesh, spec_psi)})
             cur_n = int(meta["cur_n"])
             perm = [int(q) for q in meta["perm"]]
             prev = int(meta["prev"])
             start_event = int(meta["event"])
             saved_probs = meta.get("results", {})
-            spec_w, spec_psi = emesh.specs(q_sharded=True)
             ens = ShardedEnsemble(
                 jax.device_put(jnp.asarray(arrays["log_w"]),
                                NamedSharding(emesh.mesh, spec_w)),
@@ -1115,21 +1143,29 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
     def run_segment(ens, ops, n, perm):
         if not ops:
             return ens, perm
+        t0 = _time.perf_counter()
         seg = Circuit(n)
         seg.ops = list(ops)
         seg.num_params = lp.circuit.num_params
         splan = compile_sharded(seg, k, window=window, initial_perm=perm)
         acc(splan, ens.num_particles)
-        return (apply_sharded_plan_ensemble(ens, splan, emesh),
-                list(splan.final_perm))
+        out = (apply_sharded_plan_ensemble(ens, splan, emesh),
+               list(splan.final_perm))
+        _drain(out[0])
+        _bucket("segment", _time.perf_counter() - t0)
+        return out
 
     def run_items(ens, items, n, perm):
         if not items:
             return ens
+        t0 = _time.perf_counter()
         splan = ShardedPlan(n=n, k=k, items=list(items), final_perm=perm,
                             num_params=lp.circuit.num_params)
         acc(splan, ens.num_particles)
-        return apply_sharded_plan_ensemble(ens, splan, emesh)
+        out = apply_sharded_plan_ensemble(ens, splan, emesh)
+        _drain(out)
+        _bucket("reshard", _time.perf_counter() - t0)
+        return out
 
     def rotation_circuit(basis: Basis, targets, n, inverse=False):
         rot = np.stack(basis.kets).conj()
@@ -1187,6 +1223,7 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
             pos = [0] * cur_n
             for p, q in enumerate(perm):
                 pos[q] = p
+            t0 = _time.perf_counter()
             if many:
                 from qbot_tpu.tpu.sharded_ensemble import (
                     concat_sharded,
@@ -1204,6 +1241,8 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
                 ens = replace_fanout_sharded(
                     ens, cur_n, [pos[q] - k for q in spec.targets],
                     spec.new_states, emesh, max_particles, stats=stats)
+            _drain(ens)
+            _bucket("collapse", _time.perf_counter() - t0)
             save_snapshot(ei + 1, ens)
             continue
 
@@ -1257,15 +1296,23 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
             for p, q in enumerate(perm):
                 pos[q] = p
             local = sorted(pos[q] - k for q in targets)
+            t0 = _time.perf_counter()
             if sample:
                 ens = discard_sample_sharded(next_key(), ens, cur_n, local,
                                              emesh, stats=stats)
+                _drain(ens)
+                _bucket("collapse", _time.perf_counter() - t0)
+                t0 = _time.perf_counter()
                 ens, _ = maybe_exchange_islands(
                     next_key(), ens, emesh,
                     threshold=island_ess_threshold, stats=stats)
+                _drain(ens)
+                _bucket("exchange", _time.perf_counter() - t0)
             else:
                 ens = discard_fanout_sharded(ens, cur_n, local, emesh,
                                              max_particles, stats=stats)
+                _drain(ens)
+                _bucket("collapse", _time.perf_counter() - t0)
             removed_phys = {pos[q] for q in targets}
             perm = [q - sum(1 for r in targets if r < q)
                     for p, q in enumerate(perm) if p not in removed_phys]
@@ -1285,10 +1332,13 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
             provider = _too_large_provider(cur_n)
         rot_needed = not is_comp(spec.basis)
         if rot_needed:
+            t0 = _time.perf_counter()
             rc = rotation_circuit(spec.basis, list(targets), cur_n)
             splan = compile_sharded(rc, k, window=window, initial_perm=perm)
             ens_m = apply_sharded_plan_ensemble(ens, splan, emesh)
             perm_m = list(splan.final_perm)
+            _drain(ens_m)
+            _bucket("rotate", _time.perf_counter() - t0)
         else:
             ens_m, perm_m = ens, list(perm)
 
@@ -1321,37 +1371,54 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
                 shard_pos, local, phys_logicals = target_layout(perm_m)
 
         if spec.collapse:
+            t0 = _time.perf_counter()
             if sample:
                 ens_m, dist = measure_sample_sharded(
                     next_key(), ens_m, cur_n, local, emesh,
                     shard_positions=shard_pos, stats=stats)
+                _drain(ens_m)
+                _bucket("collapse", _time.perf_counter() - t0)
+                t0 = _time.perf_counter()
                 ens_m, _ = maybe_exchange_islands(
                     next_key(), ens_m, emesh,
                     threshold=island_ess_threshold, stats=stats)
+                _drain(ens_m)
+                _bucket("exchange", _time.perf_counter() - t0)
             else:
                 ens_m, dist = measure_fanout_sharded(
                     ens_m, cur_n, local, emesh, max_particles,
                     mode=mode_here, shard_positions=shard_pos, stats=stats)
+                _drain(ens_m)
+                _bucket("collapse", _time.perf_counter() - t0)
             if rot_needed:
+                t0 = _time.perf_counter()
                 rc = rotation_circuit(spec.basis, list(targets), cur_n,
                                       inverse=True)
                 splan = compile_sharded(rc, k, window=window,
                                         initial_perm=perm_m)
                 ens_m = apply_sharded_plan_ensemble(ens_m, splan, emesh)
                 perm_m = list(splan.final_perm)
+                _drain(ens_m)
+                _bucket("rotate", _time.perf_counter() - t0)
             ens, perm = ens_m, perm_m
         else:
+            t0 = _time.perf_counter()
             dist = peek_probs_sharded(ens_m, cur_n, local, emesh,
                                       shard_positions=shard_pos,
                                       stats=stats)
+            _bucket("collapse", _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
         dist = _reorder_outcome_bits(np.asarray(dist), phys_logicals,
                                      targets)
+        _bucket("fetch", _time.perf_counter() - t0)
         results[spec.name] = _make_result(spec.basis, targets, dist,
                                           provider=provider)
         save_snapshot(ei + 1, ens)
 
     ens, perm = run_segment(ens, all_ops[prev:], cur_n, perm)
+    _t0 = _time.perf_counter()
     lost = float(np.asarray(ens.lost_mass))
+    _bucket("fetch", _time.perf_counter() - _t0)
     if lost > 1e-6:
         import warnings
         warnings.warn(

@@ -128,11 +128,48 @@ def init_mixed_ensemble(rho: np.ndarray, tol: float = 1e-12
                            jnp.asarray(psi))
 
 
+# Cached jitted executors (mirror of tpu/sharded_ensemble._JIT_CACHE).
+# Every executor here used to run EAGERLY — each jnp primitive a separate
+# device dispatch, which through the axon remote tunnel costs ~1.4-21 ms
+# apiece and made the unsharded 24q SMC run ~20x slower than the same
+# math under jit (SCALING anchor, round 5).  The cache key carries every
+# trace-time static (sizes, targets, mode, layout policy, dtypes);
+# arrays and PRNG keys are arguments of the jitted callable.
+_JIT_CACHE: dict = {}
+
+
+def _cached_exec(key, body):
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(body)
+        _JIT_CACHE[key] = fn
+    return fn
+
+
+def _layout_key():
+    """Trace-time layout/backend statics every executor key must carry."""
+    return (_FORCE_SAFE, jax.default_backend())
+
+
+def _lost(ens: QuantumEnsemble):
+    return jnp.asarray(ens.lost_mass, ens.log_w.dtype)
+
+
 def apply_plan_ensemble(ens: QuantumEnsemble, plan: Plan,
                         params=None) -> QuantumEnsemble:
+    from qbot_tpu.tpu import kernels
+    from qbot_tpu.tpu.compiler import plan_cache_key
     from qbot_tpu.tpu.planar import apply_plan_planar
 
-    psi = jax.vmap(lambda p: apply_plan_planar(p, plan, params))(ens.psi)
+    digest = plan_cache_key(plan) if params is None else None
+    if digest is None:              # parameterised plan: not cacheable
+        psi = jax.vmap(lambda p: apply_plan_planar(p, plan, params))(
+            ens.psi)
+        return QuantumEnsemble(ens.log_w, psi, ens.lost_mass)
+    ck = ("ap", digest, ens.psi.shape, str(ens.psi.dtype),
+          kernels.kernel_mode(), kernels.dot_mode())
+    psi = _cached_exec(ck, lambda psi: jax.vmap(
+        lambda p: apply_plan_planar(p, plan, None))(psi))(ens.psi)
     return QuantumEnsemble(ens.log_w, psi, ens.lost_mass)
 
 
@@ -277,8 +314,16 @@ def peek_probs(ens: QuantumEnsemble, n: int, targets: Sequence[int]
     """Ensemble-marginal outcome distribution, no state change."""
     from qbot_tpu.tpu.planar import planar_probs
 
-    per = jax.vmap(lambda p: planar_probs(p, sorted(targets), n))(ens.psi)
-    return ens.weights() @ per
+    srt = sorted(targets)
+
+    def body(log_w0, psi0):
+        per = jax.vmap(lambda p: planar_probs(p, srt, n))(psi0)
+        w = jnp.exp(log_w0)
+        return (w / jnp.sum(w)) @ per
+
+    ck = ("pk", n, tuple(srt), ens.psi.shape, str(ens.psi.dtype),
+          str(ens.log_w.dtype), _layout_key())
+    return _cached_exec(ck, body)(ens.log_w, ens.psi)
 
 
 def _cyclic_shift(x, m: int, k: int):
@@ -442,30 +487,37 @@ def measure_fanout(ens: QuantumEnsemble, n: int, targets: Sequence[int],
 
     Returns (new ensemble, outcome distribution (K,) before pruning).
     """
+    if mode not in ("projective", "reference"):
+        raise ValueError(f"unknown collapse mode {mode!r}")
     B = ens.num_particles
     K = 2 ** len(targets)
 
-    p_all, states = jax.vmap(
-        lambda s: _outcome_split(s, n, targets))(ens.psi)  # (B,K), (B,K,2,·)
-    dist = ens.weights() @ p_all
-    logp = jnp.log(jnp.clip(p_all, _MIN_P))
+    def body(log_w0, psi0, lost0):
+        p_all, states = jax.vmap(
+            lambda s: _outcome_split(s, n, targets))(psi0)  # (B,K),(B,K,2,·)
+        w = jnp.exp(log_w0)
+        dist = (w / jnp.sum(w)) @ p_all
+        logp = jnp.log(jnp.clip(p_all, _MIN_P))
 
-    if mode == "projective":
-        log_w = (ens.log_w[:, None] + logp).reshape(B * K)
-        psi = states.reshape((B * K, 2) + states.shape[3:])
-    elif mode == "reference":
-        # relocate branch j's B-part into every outcome block k
-        relocated = jax.vmap(jax.vmap(
-            lambda s: jax.vmap(
-                lambda k: _replace_block(s, n, targets, k)
-            )(jnp.arange(K))))(states)            # (B, K_j, K_k, 2, ·)
-        log_w = (ens.log_w[:, None, None] + logp[:, :, None]
-                 + logp[:, None, :]).reshape(B * K * K)
-        psi = relocated.reshape((B * K * K, 2) + states.shape[3:])
-    else:
-        raise ValueError(f"unknown collapse mode {mode!r}")
+        if mode == "projective":
+            log_w = (log_w0[:, None] + logp).reshape(B * K)
+            psi = states.reshape((B * K, 2) + states.shape[3:])
+        else:
+            # relocate branch j's B-part into every outcome block k
+            relocated = jax.vmap(jax.vmap(
+                lambda s: jax.vmap(
+                    lambda k: _replace_block(s, n, targets, k)
+                )(jnp.arange(K))))(states)        # (B, K_j, K_k, 2, ·)
+            log_w = (log_w0[:, None, None] + logp[:, :, None]
+                     + logp[:, None, :]).reshape(B * K * K)
+            psi = relocated.reshape((B * K * K, 2) + states.shape[3:])
 
-    log_w, psi, lost = _prune(log_w, psi, max_particles, ens.lost_mass)
+        return (*_prune(log_w, psi, max_particles, lost0), dist)
+
+    ck = ("mf", n, tuple(targets), max_particles, mode, ens.psi.shape,
+          str(ens.psi.dtype), str(ens.log_w.dtype), _layout_key())
+    log_w, psi, lost, dist = _cached_exec(ck, body)(
+        ens.log_w, ens.psi, _lost(ens))
     return QuantumEnsemble(log_w, psi, lost), dist
 
 
@@ -513,12 +565,19 @@ def discard_fanout(ens: QuantumEnsemble, n: int, targets: Sequence[int],
     """
     B = ens.num_particles
     K = 2 ** len(targets)
-    p_all, states = jax.vmap(
-        lambda s: _discard_split(s, n, targets))(ens.psi)  # (B,K), (B,K,2,·)
-    logp = jnp.log(jnp.clip(p_all, _MIN_P))
-    log_w = (ens.log_w[:, None] + logp).reshape(B * K)
-    psi = states.reshape((B * K, 2) + states.shape[3:])
-    log_w, psi, lost = _prune(log_w, psi, max_particles, ens.lost_mass)
+
+    def body(log_w0, psi0, lost0):
+        p_all, states = jax.vmap(
+            lambda s: _discard_split(s, n, targets))(psi0)
+        logp = jnp.log(jnp.clip(p_all, _MIN_P))
+        log_w = (log_w0[:, None] + logp).reshape(B * K)
+        psi = states.reshape((B * K, 2) + states.shape[3:])
+        return _prune(log_w, psi, max_particles, lost0)
+
+    ck = ("df", n, tuple(sorted(targets)), max_particles, ens.psi.shape,
+          str(ens.psi.dtype), str(ens.log_w.dtype), _layout_key())
+    log_w, psi, lost = _cached_exec(ck, body)(
+        ens.log_w, ens.psi, _lost(ens))
     return QuantumEnsemble(log_w, psi, lost)
 
 
@@ -536,45 +595,52 @@ def discard_sample(key: jax.Array, ens: QuantumEnsemble, n: int,
     B = ens.num_particles
     targets = sorted(targets)
     t = len(targets)
-    if _safe_layouts(n, t):
-        # large registers: extract only the SAMPLED outcome's sub-block
-        # (mask + staged sum), never the all-K states tensor
-        p_all = jax.vmap(
-            lambda s: _probs_by_reduce(s, n, targets))(ens.psi)
-        key_o, key_r = jax.random.split(key)
-        outcomes = jax.random.categorical(
-            key_o, jnp.log(jnp.clip(p_all, _MIN_P)), axis=-1)
-        p_sel = jnp.take_along_axis(p_all, outcomes[:, None], axis=1)[:, 0]
-        inv = 1.0 / jnp.sqrt(jnp.clip(p_sel, _MIN_P))
-        mrows = _mask_factor_rows(n, targets)
-        F, S, L = _carrier(n)
+    safe = _safe_layouts(n, t)
 
-        def extract(s, o, iv):
-            m = _select_mask(mrows, n, o)
-            masked = (s.reshape(2, F, S, L) * (m * iv)).reshape(2, -1)
-            return _sum_over_targets(masked, n, targets)
+    def body(rngkey, log_w0, psi0):
+        if safe:
+            # large registers: extract only the SAMPLED outcome's
+            # sub-block (mask + staged sum), never the all-K states tensor
+            p_all = jax.vmap(
+                lambda s: _probs_by_reduce(s, n, targets))(psi0)
+            key_o, key_r = jax.random.split(rngkey)
+            outcomes = jax.random.categorical(
+                key_o, jnp.log(jnp.clip(p_all, _MIN_P)), axis=-1)
+            p_sel = jnp.take_along_axis(p_all, outcomes[:, None],
+                                        axis=1)[:, 0]
+            inv = 1.0 / jnp.sqrt(jnp.clip(p_sel, _MIN_P))
+            mrows = _mask_factor_rows(n, targets)
+            F, S, L = _carrier(n)
 
-        psi = jax.vmap(extract)(ens.psi, outcomes, inv)
-    else:
-        p_all, states = jax.vmap(
-            lambda s: _discard_split(s, n, targets))(ens.psi)
-        key_o, key_r = jax.random.split(key)
-        outcomes = jax.random.categorical(
-            key_o, jnp.log(jnp.clip(p_all, _MIN_P)), axis=-1)
-        psi = jnp.take_along_axis(
-            states, outcomes[:, None, None, None], axis=1)[:, 0]
-    new = QuantumEnsemble(ens.log_w, psi)
-    ess = effective_sample_size(new.log_w)
+            def extract(s, o, iv):
+                m = _select_mask(mrows, n, o)
+                masked = (s.reshape(2, F, S, L) * (m * iv)).reshape(2, -1)
+                return _sum_over_targets(masked, n, targets)
 
-    def do_resample(_):
-        r = systematic_resample(key_r, WEnsemble(new.log_w, new.psi))
-        return r.log_weights, r.values
+            psi = jax.vmap(extract)(psi0, outcomes, inv)
+        else:
+            p_all, states = jax.vmap(
+                lambda s: _discard_split(s, n, targets))(psi0)
+            key_o, key_r = jax.random.split(rngkey)
+            outcomes = jax.random.categorical(
+                key_o, jnp.log(jnp.clip(p_all, _MIN_P)), axis=-1)
+            psi = jnp.take_along_axis(
+                states, outcomes[:, None, None, None], axis=1)[:, 0]
+        ess = effective_sample_size(log_w0)
 
-    def skip(_):
-        return new.log_w, new.psi
+        def do_resample(_):
+            r = systematic_resample(key_r, WEnsemble(log_w0, psi))
+            return r.log_weights, r.values
 
-    log_w, psi = jax.lax.cond(ess < ess_threshold * B, do_resample, skip,
-                              None)
+        def skip(_):
+            return log_w0, psi
+
+        return jax.lax.cond(ess < ess_threshold * B, do_resample, skip,
+                            None)
+
+    ck = ("ds", n, tuple(targets), float(ess_threshold), ens.psi.shape,
+          str(ens.psi.dtype), str(ens.log_w.dtype), _layout_key())
+    log_w, psi = _cached_exec(ck, body)(key, ens.log_w, ens.psi)
     return QuantumEnsemble(log_w, psi, ens.lost_mass)
 
 
@@ -604,49 +670,58 @@ def measure_sample(key: jax.Array, ens: QuantumEnsemble, n: int,
     B = ens.num_particles
     targets = sorted(targets)
     t = len(targets)
-    if _safe_layouts(n, t):
-        # large registers: select ONE outcome's mask per particle — the
-        # all-K projected-states tensor is K× the ensemble memory and
-        # its padded layout OOMs at 24 qubits
-        p_all = jax.vmap(
-            lambda s: _probs_by_reduce(s, n, targets))(ens.psi)
-        dist = ens.weights() @ p_all
-        key_o, key_r = jax.random.split(key)
-        outcomes = jax.random.categorical(
-            key_o, jnp.log(jnp.clip(p_all, _MIN_P)), axis=-1)
-        p_sel = jnp.take_along_axis(p_all, outcomes[:, None], axis=1)[:, 0]
-        inv = 1.0 / jnp.sqrt(jnp.clip(p_sel, _MIN_P))
-        mrows = _mask_factor_rows(n, targets)
-        F, S, L = _carrier(n)
+    safe = _safe_layouts(n, t)
 
-        def collapse(s, o, iv):
-            m = _select_mask(mrows, n, o)
-            return (s.reshape(2, F, S, L) * (m * iv)).reshape(2, -1)
+    def body(rngkey, log_w0, psi0):
+        if safe:
+            # large registers: select ONE outcome's mask per particle —
+            # the all-K projected-states tensor is K× the ensemble memory
+            # and its padded layout OOMs at 24 qubits
+            p_all = jax.vmap(
+                lambda s: _probs_by_reduce(s, n, targets))(psi0)
+            key_o, key_r = jax.random.split(rngkey)
+            outcomes = jax.random.categorical(
+                key_o, jnp.log(jnp.clip(p_all, _MIN_P)), axis=-1)
+            p_sel = jnp.take_along_axis(p_all, outcomes[:, None],
+                                        axis=1)[:, 0]
+            inv = 1.0 / jnp.sqrt(jnp.clip(p_sel, _MIN_P))
+            mrows = _mask_factor_rows(n, targets)
+            F, S, L = _carrier(n)
 
-        psi = jax.vmap(collapse)(ens.psi, outcomes, inv)
-    else:
-        p_all, states = jax.vmap(
-            lambda s: _outcome_split(s, n, targets))(ens.psi)
-        dist = ens.weights() @ p_all
-        key_o, key_r = jax.random.split(key)
-        outcomes = jax.random.categorical(
-            key_o, jnp.log(jnp.clip(p_all, _MIN_P)), axis=-1)     # (B,)
-        psi = jnp.take_along_axis(
-            states, outcomes[:, None, None, None], axis=1)[:, 0]
-    new = QuantumEnsemble(ens.log_w, psi)
+            def collapse(s, o, iv):
+                m = _select_mask(mrows, n, o)
+                return (s.reshape(2, F, S, L) * (m * iv)).reshape(2, -1)
 
-    ess = effective_sample_size(new.log_w)
+            psi = jax.vmap(collapse)(psi0, outcomes, inv)
+        else:
+            p_all, states = jax.vmap(
+                lambda s: _outcome_split(s, n, targets))(psi0)
+            key_o, key_r = jax.random.split(rngkey)
+            outcomes = jax.random.categorical(
+                key_o, jnp.log(jnp.clip(p_all, _MIN_P)), axis=-1)  # (B,)
+            psi = jnp.take_along_axis(
+                states, outcomes[:, None, None, None], axis=1)[:, 0]
+        w = jnp.exp(log_w0)
+        dist = (w / jnp.sum(w)) @ p_all
 
-    def do_resample(_):
-        w = WEnsemble(new.log_w, (new.psi, outcomes))
-        r = systematic_resample(key_r, w)
-        return r.log_weights, r.values[0], r.values[1]
+        ess = effective_sample_size(log_w0)
 
-    def skip(_):
-        return new.log_w, new.psi, outcomes
+        def do_resample(_):
+            r = systematic_resample(key_r, WEnsemble(log_w0,
+                                                     (psi, outcomes)))
+            return r.log_weights, r.values[0], r.values[1]
 
-    log_w, psi, outcomes = jax.lax.cond(
-        ess < ess_threshold * B, do_resample, skip, None)
+        def skip(_):
+            return log_w0, psi, outcomes
+
+        log_w, psi_o, outs = jax.lax.cond(
+            ess < ess_threshold * B, do_resample, skip, None)
+        return log_w, psi_o, outs, dist
+
+    ck = ("ms", n, tuple(targets), float(ess_threshold), ens.psi.shape,
+          str(ens.psi.dtype), str(ens.log_w.dtype), _layout_key())
+    log_w, psi, outcomes, dist = _cached_exec(ck, body)(
+        key, ens.log_w, ens.psi)
     return QuantumEnsemble(log_w, psi, ens.lost_mass), dist, outcomes
 
 
@@ -713,20 +788,29 @@ def replace_fanout(ens: QuantumEnsemble, n: int, targets: Sequence[int],
     B = ens.num_particles
     sorted_t = sorted(targets)
     K = 2 ** len(targets)
-    p_all, states = jax.vmap(
-        lambda s: _discard_split(s, n, sorted_t))(ens.psi)
-    logp = jnp.log(jnp.clip(p_all, _MIN_P))       # (B, K)
-    parts_w, parts_psi = [], []
-    for wb, phi in new_states:
-        ins = jax.vmap(jax.vmap(
-            lambda s: _insert_block(jnp.asarray(phi, ens.psi.dtype), s,
-                                    n, list(targets))))(states)
-        parts_psi.append(ins.reshape((B * K, 2, -1)))
-        parts_w.append((ens.log_w[:, None] + logp
-                        + float(np.log(wb))).reshape(B * K))
-    log_w = jnp.concatenate(parts_w)
-    psi = jnp.concatenate(parts_psi)
-    log_w, psi, lost = _prune(log_w, psi, max_particles, ens.lost_mass)
+    phis = [(float(w), np.asarray(phi)) for w, phi in new_states]
+
+    def body(log_w0, psi0, lost0):
+        p_all, states = jax.vmap(
+            lambda s: _discard_split(s, n, sorted_t))(psi0)
+        logp = jnp.log(jnp.clip(p_all, _MIN_P))   # (B, K)
+        parts_w, parts_psi = [], []
+        for wb, phi in phis:
+            ins = jax.vmap(jax.vmap(
+                lambda s: _insert_block(jnp.asarray(phi, psi0.dtype), s,
+                                        n, list(targets))))(states)
+            parts_psi.append(ins.reshape((B * K, 2, -1)))
+            parts_w.append((log_w0[:, None] + logp
+                            + float(np.log(wb))).reshape(B * K))
+        log_w = jnp.concatenate(parts_w)
+        psi = jnp.concatenate(parts_psi)
+        return _prune(log_w, psi, max_particles, lost0)
+
+    ck = ("rf", n, tuple(targets), max_particles, ens.psi.shape,
+          str(ens.psi.dtype), str(ens.log_w.dtype), _layout_key(),
+          tuple((w, phi.tobytes()) for w, phi in phis))
+    log_w, psi, lost = _cached_exec(ck, body)(
+        ens.log_w, ens.psi, _lost(ens))
     return QuantumEnsemble(log_w, psi, lost)
 
 

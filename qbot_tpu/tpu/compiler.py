@@ -189,6 +189,81 @@ class Plan:
         return 2 * state * self.num_passes
 
 
+def plan_cache_key(plan: Plan):
+    """Content digest of a Plan for executor caching, or None when the
+    plan is not content-addressable (parameterised gate makers).
+
+    Two structurally-identical plans — e.g. the same program segment
+    recompiled on a later run — digest equal, so executors can reuse a
+    cached jitted callable instead of re-tracing.  Every behaviourally
+    relevant field is hashed: step geometry, static matrices/diagonals
+    byte-wise, fused flips/phases, and the plan header (including the
+    ranked engine, which selects the executor path at trace time).
+    """
+    import hashlib
+
+    h = hashlib.sha1()
+
+    def u(*parts):
+        for x in parts:
+            h.update(repr(x).encode())
+            h.update(b";")
+
+    def arr(a):
+        a = np.asarray(a)
+        u("A", a.dtype.str, a.shape)
+        h.update(a.tobytes())
+
+    def term(t) -> bool:
+        if t.maker is not None:
+            return False
+        u("T", t.positions, t.param_idx, t.num_controls)
+        if t.matrix is None:
+            return False
+        arr(t.matrix)
+        return True
+
+    def step(st) -> bool:
+        if isinstance(st, WindowStep):
+            u("W", st.start, st.width, st.pre_flips)
+            for ph in st.pre_phases:
+                u("ph", ph[0], complex(ph[1]),
+                  ph[2] if len(ph) > 2 else -1)
+            return all(term(t) for t in st.terms)
+        if isinstance(st, PairStep):
+            u("P2")
+            return step(st.first) and step(st.second)
+        if isinstance(st, DiagStep):
+            u("D", st.targets)
+            arr(st.diag)
+            return True
+        if isinstance(st, FlipStep):
+            u("F", st.index)
+            return True
+        if isinstance(st, PhaseStep):
+            u("Ph", st.qubits, complex(st.phase), st.pattern)
+            return True
+        if isinstance(st, ContractStep):
+            if st.maker is not None:
+                return False
+            u("C", st.targets, st.num_controls)
+            arr(st.matrix)
+            return True
+        if isinstance(st, ReflectStep):
+            u("R", st.pre_flips)
+            for f in st.factors:
+                arr(f)
+            return True
+        return False
+
+    u("hdr", plan.n, plan.window, getattr(plan, "engine", "pallas"),
+      plan.num_params)
+    for st in plan.steps:
+        if not step(st):
+            return None
+    return h.digest()
+
+
 def _qubit_log2(size: int) -> int:
     return int(size).bit_length() - 1
 

@@ -281,15 +281,7 @@ def splan_cache_key(splan: "ShardedPlan"):
     """
     import hashlib
 
-    from qbot_tpu.tpu.compiler import (
-        ContractStep,
-        DiagStep,
-        FlipStep,
-        PairStep,
-        PhaseStep,
-        ReflectStep,
-        WindowStep,
-    )
+    from qbot_tpu.tpu.compiler import plan_cache_key
 
     h = hashlib.sha1()
 
@@ -303,57 +295,14 @@ def splan_cache_key(splan: "ShardedPlan"):
         u("A", a.dtype.str, a.shape)
         h.update(a.tobytes())
 
-    def term(t) -> bool:
-        if t.maker is not None:
-            return False
-        u("T", t.positions, t.param_idx, t.num_controls)
-        if t.matrix is None:
-            return False
-        arr(t.matrix)
-        return True
-
-    def step(st) -> bool:
-        if isinstance(st, WindowStep):
-            u("W", st.start, st.width, st.pre_flips)
-            for ph in st.pre_phases:
-                u("ph", ph[0], complex(ph[1]),
-                  ph[2] if len(ph) > 2 else -1)
-            return all(term(t) for t in st.terms)
-        if isinstance(st, PairStep):
-            u("P2")
-            return step(st.first) and step(st.second)
-        if isinstance(st, DiagStep):
-            u("D", st.targets)
-            arr(st.diag)
-            return True
-        if isinstance(st, FlipStep):
-            u("F", st.index)
-            return True
-        if isinstance(st, PhaseStep):
-            u("Ph", st.qubits, complex(st.phase), st.pattern)
-            return True
-        if isinstance(st, ContractStep):
-            if st.maker is not None:
-                return False
-            u("C", st.targets, st.num_controls)
-            arr(st.matrix)
-            return True
-        if isinstance(st, ReflectStep):
-            u("R", st.pre_flips)
-            for f in st.factors:
-                arr(f)
-            return True
-        return False
-
     u("hdr", splan.n, splan.k, splan.num_params)
     for item in splan.items:
         if isinstance(item, LocalSegment):
-            pl = item.plan
-            u("LS", pl.n, pl.window, getattr(pl, "engine", "pallas"),
-              pl.num_params)
-            for st in pl.steps:
-                if not step(st):
-                    return None
+            d = plan_cache_key(item.plan)
+            if d is None:
+                return None
+            u("LS")
+            h.update(d)
         elif isinstance(item, Reshard):
             u("RS", item.m)
         elif isinstance(item, ShardedFlip):

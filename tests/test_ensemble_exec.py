@@ -586,8 +586,11 @@ class TestTilingSafeCollapse:
         new = run_all()
         monkeypatch.setattr(ee, "_FORCE_SAFE", False)
         old = run_all()
+        # the two formulations reduce 2^17 float32 amplitudes in different
+        # orders (jitted XLA picks per-formulation reduction trees), so
+        # agreement is bounded by f32 summation noise ~1e-5, not exactness
         for a, b in zip(new, old):
-            np.testing.assert_allclose(a, b, atol=2e-6)
+            np.testing.assert_allclose(a, b, atol=5e-5)
 
     def test_reference_mode_relocation_matches_direct(self, monkeypatch):
         import qbot_tpu.inference.ensemble_exec as ee
@@ -600,7 +603,9 @@ class TestTilingSafeCollapse:
         monkeypatch.setattr(ee, "_FORCE_SAFE", False)
         old_e, old_d = ee.measure_fanout(ens, n, [2, 16], 64,
                                          mode="reference")
+        # f32 reduction-order noise between the jitted formulations (see
+        # test_fanout_and_sample_match_direct)
         np.testing.assert_allclose(np.asarray(new_d), np.asarray(old_d),
-                                   atol=2e-6)
+                                   atol=5e-5)
         np.testing.assert_allclose(np.asarray(new_e.psi),
-                                   np.asarray(old_e.psi), atol=2e-6)
+                                   np.asarray(old_e.psi), atol=5e-5)

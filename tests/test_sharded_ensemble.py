@@ -213,7 +213,8 @@ class TestShardedElasticRecovery:
            "meas c ; computation ; [0, 3]")
 
     def test_restart_from_snapshot_matches_uninterrupted(self, tmp_path,
-                                                         monkeypatch):
+                                                         monkeypatch,
+                                                         caplog):
         import qbot_tpu.tpu.sharded_ensemble as se
         from qbot_tpu.tpu.sharded_ensemble import sharded_ensemble_mixture
 
@@ -241,10 +242,19 @@ class TestShardedElasticRecovery:
         monkeypatch.setattr(se, "measure_fanout_sharded", real)
 
         # a fresh invocation resumes from the latest snapshot: only the
-        # remaining events run, results and final mixture match exactly
+        # remaining events run, results and final mixture match exactly —
+        # and the orbax restore is WARNING-FREE (explicit CheckpointArgs
+        # + targets from the checkpoint's own metadata, VERDICT r4 #7)
+        import logging
+
         lp3 = lower_program(self.SRC, mid_measure=True)
-        got, got_ens, got_perm, _ = run_lowered_sharded_ensemble(
-            lp3, mesh=_mesh(2, 2), checkpoint_dir=ckpt)
+        with caplog.at_level(logging.WARNING):
+            got, got_ens, got_perm, _ = run_lowered_sharded_ensemble(
+                lp3, mesh=_mesh(2, 2), checkpoint_dir=ckpt)
+        bad = [r.message for r in caplog.records
+               if "could not be restored" in str(r.message)
+               or "UNSAFE" in str(r.message)]
+        assert not bad, f"orbax restore warned: {bad}"
         for name in ("a", "b", "c"):
             np.testing.assert_allclose(got[name].probs, want[name].probs,
                                        atol=1e-6)
