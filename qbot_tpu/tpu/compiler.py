@@ -414,7 +414,13 @@ def dot_cost_model(plan: Plan, dot_mode: str = "f32") -> float:
 
     def win_cost(w) -> float:
         flops = 4.0 * 2.0 * (2**plan.n) * (2**w.width)
-        return (max(stream, flops / mxu) * _DOT_SLACK
+        mxu_w = mxu
+        if dot_mode == "f32_mix":
+            # selective precision: MXU-bound widths (>= 7) run 3-pass
+            # bf16, the rest full f32 (dotplan._MIX_WIDTH_MIN)
+            mxu_w = (_DOT_MXU["bf16_3x"] if w.width >= 7
+                     else _DOT_MXU["f32"])
+        return (max(stream, flops / mxu_w) * _DOT_SLACK
                 + phase_cost(w.pre_phases))
 
     t = 0.0

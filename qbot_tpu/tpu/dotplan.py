@@ -64,13 +64,24 @@ def dot_precision():
 
     f32 -> HIGHEST (6-pass bf16 = full f32), bf16_3x -> HIGH (3-pass
     bf16, the hardware's native version of the manual Dekker split in
-    kernels._dot), bf16 -> DEFAULT (single pass).
+    kernels._dot), bf16 -> DEFAULT (single pass).  f32_mix resolves
+    per window at lower time (:func:`lower_dot_plan`); the global
+    fallback used by non-window paths is full f32.
     """
     from qbot_tpu.tpu.kernels import dot_mode
 
     return {"f32": jax.lax.Precision.HIGHEST,
+            "f32_mix": jax.lax.Precision.HIGHEST,
             "bf16_3x": jax.lax.Precision.HIGH,
             "bf16": jax.lax.Precision.DEFAULT}[dot_mode()]
+
+
+# f32_mix window-width threshold: at 26 qubits a width-7 window's 6-pass
+# f32 matmul takes ~3.2 ms against the ~2.2 ms in-place stream floor
+# (MXU-bound; docs/perf.md), while width <= 6 halves the MXU work and is
+# bandwidth-bound even at HIGHEST — so only width >= 7 benefits from the
+# 3-pass drop, and narrower windows keep full f32 for free.
+_MIX_WIDTH_MIN = 7
 
 
 def _tail_split(n: int) -> tuple[int, int, int]:
@@ -88,6 +99,7 @@ class _Win:
     spec: str                         # einsum spec (in-place output)
     flips: tuple[int, ...]            # flat indices, applied pre
     phases: tuple                     # mask-vector phases, applied pre
+    prec: Optional[object] = None     # per-window precision override
 
 
 @dataclass(frozen=True)
@@ -242,12 +254,15 @@ def lower_dot_plan(plan: Plan, cycle: bool = True) -> Optional[DotPlan]:
     (``cycle`` is accepted for API compatibility; the property now holds
     unconditionally).
     """
+    from qbot_tpu.tpu.kernels import dot_mode
+
     n = plan.n
     if n < 1:
         return None
     tail = plan_tail_split(plan)
     if tail is None:
         return None
+    mix = dot_mode() == "f32_mix"
     lowered: list = []
     saw_window = False
     for s in expand_pairs(plan.steps):
@@ -259,7 +274,9 @@ def lower_dot_plan(plan: Plan, cycle: bool = True) -> Optional[DotPlan]:
             flips = tuple(int(m) for m in s.pre_flips)
             phases = tuple(_phase_vectors(ph, n, tail)
                            for ph in s.pre_phases)
-            lowered.append(_Win(s, view, spec, flips, phases))
+            prec = (jax.lax.Precision.HIGH
+                    if mix and s.width >= _MIX_WIDTH_MIN else None)
+            lowered.append(_Win(s, view, spec, flips, phases, prec))
             saw_window = True
         elif isinstance(s, FlipStep):
             lowered.append(_Flip(s.index))
@@ -360,12 +377,18 @@ def _flip_coords(index: int, tail):
 
 
 def apply_plan_dot(psi: jnp.ndarray, lowered: DotPlan, params=None,
-                   carrier: bool = False) -> jnp.ndarray:
+                   carrier: bool = False,
+                   prescale=None) -> jnp.ndarray:
     """Run a lowered dot plan over a planar (2, 2^n) state (traceable).
 
     ``carrier=True``: ``psi`` is (and stays) in :func:`carrier_shape`
     form — used by the scanned runner so the loop carry never takes the
     padded flat layout.
+
+    ``prescale``: optional traced scalar folded into the FIRST window's
+    matrix (or multiplied into the state when no window leads) — the
+    free half of the scanned runner's drift renormalisation: scaling a
+    2^w matrix costs nothing against a full-state pass.
     """
     from qbot_tpu.tpu.planar import (
         _apply_contract_planar,
@@ -394,8 +417,11 @@ def apply_plan_dot(psi: jnp.ndarray, lowered: DotPlan, params=None,
                 psi = _apply_phases_masked(psi, n, s.phases, lowered.tail)
             Wr, Wi = _fold_planar_pair(s.step, params, psi.dtype)
             M = _realify(Wr, Wi)
+            if prescale is not None:
+                M = M * prescale
+                prescale = None
             out = jnp.einsum(s.spec, M, psi.reshape(s.view),
-                             precision=prec)
+                             precision=s.prec or prec)
             psi = out.reshape(cshape)
         elif isinstance(s, _Diag):
             t = psi.reshape(s.view)
@@ -411,6 +437,8 @@ def apply_plan_dot(psi: jnp.ndarray, lowered: DotPlan, params=None,
         else:                          # _Contract
             psi = _apply_contract_planar(psi.reshape(2, -1), n, s.step,
                                          params).reshape(cshape)
+    if prescale is not None:           # no window consumed it
+        psi = psi * prescale
     return psi if carrier else psi.reshape(shape)
 
 
@@ -482,12 +510,22 @@ def density_plan_2n(plan: Plan) -> Plan:
     return big
 
 
-def make_scanned_dot_runner(plan: Plan, repeats: int, init_plan=None):
+def make_scanned_dot_runner(plan: Plan, repeats: int, init_plan=None,
+                            renorm_every: int = 0):
     """jit(psi, params?) -> state after ``repeats`` plan bodies, dot engine.
 
     Returns None when the plan does not lower (caller uses the planar
     runner).  Every pass is in place, so the scan carry keeps the
     canonical layout with no restore step.
+
+    ``renorm_every=k`` re-normalises the state every k bodies — the
+    error-contract mitigation for the reduced-precision dot modes
+    (docs/perf.md): the norm reduction fuses into the body's last pass
+    as an epilogue and the 1/√norm correction folds into the NEXT body's
+    first window matrix (:func:`apply_plan_dot` ``prescale``), so the
+    cadence costs no extra full-state pass.  The correction is applied
+    lazily, so the returned state carries at most one pending body's
+    drift (fully corrected on exit).
     """
     lowered = lower_dot_plan(plan)
     if lowered is None:
@@ -510,10 +548,26 @@ def make_scanned_dot_runner(plan: Plan, repeats: int, init_plan=None):
         # pads its size-2 second-minor dim 4x in the tiled layout)
         psi = psi.reshape(carrier_shape(lowered))
 
-        def step(carry, _):
-            return apply_plan_dot(carry, lowered, params,
-                                  carrier=True), None
+        if renorm_every:
+            def step(carry, i):
+                psi, c = carry
+                psi = apply_plan_dot(psi, lowered, params, carrier=True,
+                                     prescale=c)
+                tick = (i + 1) % renorm_every == 0
+                nrm2 = jnp.sum(psi * psi)
+                c = jnp.where(tick, jax.lax.rsqrt(nrm2),
+                              jnp.ones((), psi.dtype))
+                return (psi, c), None
 
-        psi, _ = jax.lax.scan(step, psi, None, length=repeats)
+            (psi, c), _ = jax.lax.scan(
+                step, (psi, jnp.ones((), psi.dtype)),
+                jnp.arange(repeats))
+            psi = psi * c              # land the last pending correction
+        else:
+            def step(carry, _):
+                return apply_plan_dot(carry, lowered, params,
+                                      carrier=True), None
+
+            psi, _ = jax.lax.scan(step, psi, None, length=repeats)
         return psi.reshape(shape)
     return run

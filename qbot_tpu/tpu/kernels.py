@@ -33,13 +33,17 @@ from jax.experimental.pallas import tpu as pltpu
 # kernels request full f32 (6-pass bf16 decomposition) explicitly.
 # "bf16_3x" is a measured ~f32-accuracy/speed tradeoff (manual Dekker
 # split, 3 MXU passes, drops the lo*lo term); "bf16" is the raw fast path
-# for error-tolerant exploratory runs.
-_DOT_MODE = "f32"                # "f32" | "bf16_3x" | "bf16"
+# for error-tolerant exploratory runs.  "f32_mix" is the round-5
+# selective mode: the dot engine drops to 3-pass bf16 ONLY on windows
+# wide enough to be MXU-bound at full f32 (width >= 7 at 26q: the 6-pass
+# matmul takes ~3.2 ms vs the ~2.2 ms stream floor) and keeps full f32
+# everywhere else — most of bf16_3x's speed at a fraction of its error.
+_DOT_MODE = "f32"                # "f32" | "f32_mix" | "bf16_3x" | "bf16"
 
 
 def set_dot_mode(mode: str) -> None:
     global _DOT_MODE
-    if mode not in ("f32", "bf16_3x", "bf16"):
+    if mode not in ("f32", "f32_mix", "bf16_3x", "bf16"):
         raise ValueError(f"unknown dot mode {mode!r}")
     _DOT_MODE = mode
 
@@ -49,7 +53,9 @@ def dot_mode() -> str:
 
 
 def _dot(a, b):
-    if _DOT_MODE == "f32":
+    if _DOT_MODE in ("f32", "f32_mix"):
+        # f32_mix is a dot-engine policy (per-window widths); the Pallas
+        # kernels have no window-width context, so they stay full f32
         return jnp.dot(a, b, preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
     if _DOT_MODE == "bf16":

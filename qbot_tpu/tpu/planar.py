@@ -765,9 +765,11 @@ def _make_scanned_reflect_runner(step: ReflectStep, repeats: int,
 
 
 def make_scanned_planar_runner(body_plan: Plan, repeats: int,
-                               init_plan: Optional[Plan] = None):
+                               init_plan: Optional[Plan] = None,
+                               renorm_every: int = 0):
     if (len(body_plan.steps) == 1
-            and isinstance(body_plan.steps[0], ReflectStep)):
+            and isinstance(body_plan.steps[0], ReflectStep)
+            and not renorm_every):
         fast = _make_scanned_reflect_runner(body_plan.steps[0], repeats,
                                             init_plan)
         if fast is not None:
@@ -776,7 +778,8 @@ def make_scanned_planar_runner(body_plan: Plan, repeats: int,
     if getattr(body_plan, "engine", "pallas") == "dot":
         from qbot_tpu.tpu.dotplan import make_scanned_dot_runner
 
-        dot = make_scanned_dot_runner(body_plan, repeats, init_plan)
+        dot = make_scanned_dot_runner(body_plan, repeats, init_plan,
+                                      renorm_every=renorm_every)
         if dot is not None:
             return dot
 
@@ -785,10 +788,17 @@ def make_scanned_planar_runner(body_plan: Plan, repeats: int,
         if init_plan is not None:
             psi = apply_plan_planar(psi, init_plan, params)
 
-        def step(carry, _):
-            return apply_plan_planar(carry, body_plan, params), None
+        def step(carry, i):
+            psi = apply_plan_planar(carry, body_plan, params)
+            if renorm_every:
+                tick = (i + 1) % renorm_every == 0
+                scale = jnp.where(tick,
+                                  jax.lax.rsqrt(jnp.sum(psi * psi)),
+                                  jnp.ones((), psi.dtype))
+                psi = psi * scale
+            return psi, None
 
-        psi, _ = jax.lax.scan(step, psi, None, length=repeats)
+        psi, _ = jax.lax.scan(step, psi, jnp.arange(repeats))
         return psi
     return run
 
