@@ -33,8 +33,13 @@ import numpy as np
 
 N = 26
 GROVER_REPEATS = 512   # Grover iterations timed (scanned body)
-GENERAL_LAYERS = 4     # brickwork layers per scanned body
-GENERAL_REPEATS = 64
+# 256 brickwork layers total, scanned as 16 bodies of 16 layers: the
+# compiler's support-based lazy flushing merges interior layer PAIRS
+# into one window round, but each scan-body boundary forces a flush —
+# a 4-layer body costs 12 passes/4 layers, a 16-layer body 9 (measured
+# schedule; round-5 change, same total gate count as rounds 1-4)
+GENERAL_LAYERS = 16    # brickwork layers per scanned body
+GENERAL_REPEATS = 16
 BASELINE_GATES = 4     # numpy same-task gates to time for the ratio
 
 
@@ -214,25 +219,36 @@ def tpu_general() -> dict:
                                key=lambda t: t[0])
     kernels.set_kernel_mode("auto")
 
-    # precision sweep (bf16_3x: 3-pass Dekker-split MXU mode).  The dot
-    # mode is baked into the module-level kernel jits at trace time, so
-    # clear the in-process jit caches to force a retrace — the persistent
-    # cache keys differ per mode, so repeat runs stay warm.
+    # precision sweep.  The dot mode is baked into the module-level
+    # kernel jits at trace time, so clear the in-process jit caches to
+    # force a retrace — the persistent cache keys differ per mode, so
+    # repeat runs stay warm.
     import jax
 
-    kernels.set_kernel_mode("on")
-    kernels.set_dot_mode("bf16_3x")
-    jax.clear_caches()
-    # re-rank under the bf16_3x cost model: the MXU-bound windows halve,
-    # so the auto search may prefer wider windows than the f32 plan
-    plan_bf = compile_circuit(body, window="auto")
-    run = make_scanned_planar_runner(plan_bf, GENERAL_REPEATS)
-    bf_compile_s, _ = _timed(run, psi0)
-    bf_elapsed, bf_out = min((_timed(run, psi0) for _ in range(2)),
-                             key=lambda t: t[0])
-    kernels.set_dot_mode("f32")
-    kernels.set_kernel_mode("auto")
-    jax.clear_caches()
+    def _mode_run(mode, renorm):
+        kernels.set_kernel_mode("on")
+        kernels.set_dot_mode(mode)
+        jax.clear_caches()
+        # re-rank under the mode's cost model: when the MXU-bound
+        # windows shrink the auto search may prefer different widths
+        pl = compile_circuit(body, window="auto")
+        run = make_scanned_planar_runner(pl, GENERAL_REPEATS,
+                                         renorm_every=renorm)
+        c_s, _ = _timed(run, psi0)
+        el, out = min((_timed(run, psi0) for _ in range(2)),
+                      key=lambda t: t[0])
+        kernels.set_dot_mode("f32")
+        kernels.set_kernel_mode("auto")
+        jax.clear_caches()
+        return c_s, el, out
+
+    # bf16_3x (3-pass Dekker-split MXU mode; cross-round lineage row)
+    bf_compile_s, bf_elapsed, bf_out = _mode_run("bf16_3x", 0)
+    # f32_mix + free-cadence renorm: 3-pass bf16 ONLY on MXU-bound
+    # windows, norm drift corrected by folding 1/sqrt(norm) into the
+    # next body's first window matrix — measured f32-level agreement
+    # (docs/perf.md round-5 table)
+    mix_compile_s, mix_elapsed, mix_out = _mode_run("f32_mix", 1)
 
     # canaries: unitarity + engine/XLA agreement on the full final state
     norm = float(jnp.sum(outs["on"] ** 2))
@@ -240,6 +256,8 @@ def tpu_general() -> dict:
     pallas_delta = float(jnp.max(jnp.abs(pallas_out - outs["off"])))
     bf_norm = float(jnp.sum(bf_out ** 2))
     bf_delta = float(jnp.max(jnp.abs(bf_out - outs["on"])))
+    mix_norm = float(jnp.sum(mix_out ** 2))
+    mix_delta = float(jnp.max(jnp.abs(mix_out - outs["on"])))
     return {
         "general_gates_per_s": round(gates / results["on"], 1),
         "general_engine": plan.engine,
@@ -259,6 +277,14 @@ def tpu_general() -> dict:
         "general_bf16_3x_compile_seconds": round(bf_compile_s, 2),
         "general_bf16_3x_norm": round(bf_norm, 6),
         "general_bf16_3x_max_delta_vs_f32": float(f"{bf_delta:.2e}"),
+        "general_f32_mix_renorm_gates_per_s": round(gates / mix_elapsed,
+                                                    1),
+        "general_f32_mix_renorm_vs_f32": round(
+            results["on"] / mix_elapsed, 3),
+        "general_f32_mix_renorm_compile_seconds": round(mix_compile_s, 2),
+        "general_f32_mix_renorm_norm": round(mix_norm, 7),
+        "general_f32_mix_renorm_max_delta_vs_f32": float(
+            f"{mix_delta:.2e}"),
     }
 
 

@@ -721,21 +721,41 @@ def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
         prev = spec.at_op
         if isinstance(spec, QSetSpec):
             # targeted qset: per-particle partial trace + tensor insert
-            # (reference replaceArbitrary semantics; target order kept)
-            if sample:
-                raise ValueError(
-                    "targeted qset is not supported in sampling mode - "
-                    "use the exact fan-out (sample=0) or the dense "
-                    "interpreter")
-            from qbot_tpu.inference.ensemble_exec import replace_fanout
+            # (reference replaceArbitrary semantics; target order kept).
+            # Sample mode draws ONE traced outcome + ONE new-state branch
+            # per particle (replace_sample, VERDICT r4 #5); ProbVal
+            # target-set branches fan out and resample back down.
+            from qbot_tpu.inference.ensemble_exec import (
+                replace_fanout,
+                replace_sample,
+            )
 
             if spec.branches and len(spec.branches) > 1:
-                from qbot_tpu.inference.ensemble_exec import concat_weighted
+                from qbot_tpu.inference.ensemble_exec import (
+                    concat_resampled,
+                    concat_weighted,
+                )
 
-                ens = concat_weighted(
-                    [(p, replace_fanout(ens, cur_n, list(t),
-                                        spec.new_states, max_particles))
-                     for p, t in spec.branches], max_particles)
+                if sample:
+                    key, k1, k2 = jax.random.split(key, 3)
+                    B_keep = ens.num_particles
+                    ens = concat_resampled(
+                        k2,
+                        [(p, replace_sample(
+                            jax.random.fold_in(k1, i), ens, cur_n,
+                            list(t), spec.new_states))
+                         for i, (p, t) in enumerate(spec.branches)],
+                        B_keep)
+                else:
+                    ens = concat_weighted(
+                        [(p, replace_fanout(ens, cur_n, list(t),
+                                            spec.new_states,
+                                            max_particles))
+                         for p, t in spec.branches], max_particles)
+            elif sample:
+                key, sub = jax.random.split(key)
+                ens = replace_sample(sub, ens, cur_n, list(spec.targets),
+                                     spec.new_states)
             else:
                 ens = replace_fanout(ens, cur_n, list(spec.targets),
                                      spec.new_states, max_particles)
@@ -748,18 +768,28 @@ def run_lowered_ensemble(lp: LoweredProgram, max_particles: int = 256,
         if isinstance(spec, DiscSpec):
             if spec.branches and len(spec.branches) > 1:
                 # ProbVal target sets: weighted mixture of per-branch
-                # discards (all the same size by lowering), then one prune
-                if sample:
-                    raise ValueError(
-                        "ProbVal disc targets are not supported in "
-                        "sampling mode - use the exact fan-out (sample=0) "
-                        "or the dense interpreter")
-                from qbot_tpu.inference.ensemble_exec import concat_weighted
+                # discards (all the same size by lowering) — exact mode
+                # prunes the concat, sample mode resamples back down to
+                # the fixed population (unbiased; VERDICT r4 #5)
+                from qbot_tpu.inference.ensemble_exec import (
+                    concat_resampled,
+                    concat_weighted,
+                )
 
-                ens = concat_weighted(
-                    [(p, discard_fanout(ens, cur_n, sorted(t),
-                                        max_particles))
-                     for p, t in spec.branches], max_particles)
+                if sample:
+                    key, k1, k2 = jax.random.split(key, 3)
+                    B_keep = ens.num_particles
+                    ens = concat_resampled(
+                        k2,
+                        [(p, discard_sample(jax.random.fold_in(k1, i),
+                                            ens, cur_n, sorted(t)))
+                         for i, (p, t) in enumerate(spec.branches)],
+                        B_keep)
+                else:
+                    ens = concat_weighted(
+                        [(p, discard_fanout(ens, cur_n, sorted(t),
+                                            max_particles))
+                         for p, t in spec.branches], max_particles)
             elif sample:
                 key, sub = jax.random.split(key)
                 ens = discard_sample(sub, ens, cur_n, targets)
@@ -1207,13 +1237,14 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
             # targeted qset on the mesh: localize the targets with one
             # all_to_all, then the partial trace + tensor insert is
             # shard-local (the physical positions are re-populated in
-            # place, so the perm is unchanged)
-            if sample:
-                raise ValueError(
-                    "targeted qset is not supported in sampling mode - "
-                    "use the exact fan-out (sample=0) or the dense "
-                    "interpreter")
-            from qbot_tpu.tpu.sharded_ensemble import replace_fanout_sharded
+            # place, so the perm is unchanged).  Sample mode draws ONE
+            # traced outcome + ONE new-state branch per particle
+            # (replace_sample_sharded, VERDICT r4 #5) — constant memory;
+            # ProbVal target-set branches fan out and resample back down.
+            from qbot_tpu.tpu.sharded_ensemble import (
+                replace_fanout_sharded,
+                replace_sample_sharded,
+            )
 
             many = spec.branches and len(spec.branches) > 1
             union = sorted({q for _, t in spec.branches for q in t}
@@ -1228,15 +1259,32 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
                 from qbot_tpu.tpu.sharded_ensemble import (
                     concat_sharded,
                     prune_sharded,
+                    resample_down_sharded,
                 )
 
-                parts = [(pb, replace_fanout_sharded(
-                            ens, cur_n, [pos[q] - k for q in t],
-                            spec.new_states, emesh, max_particles,
-                            stats=stats))
-                         for pb, t in spec.branches]
-                ens = prune_sharded(concat_sharded(parts, emesh),
-                                    max_particles, emesh, stats=stats)
+                if sample:
+                    B_keep = ens.num_particles
+                    parts = [(pb, replace_sample_sharded(
+                                next_key(), ens, cur_n,
+                                [pos[q] - k for q in t],
+                                spec.new_states, emesh, stats=stats))
+                             for pb, t in spec.branches]
+                    ens = resample_down_sharded(
+                        next_key(), concat_sharded(parts, emesh),
+                        B_keep, emesh, stats=stats)
+                else:
+                    parts = [(pb, replace_fanout_sharded(
+                                ens, cur_n, [pos[q] - k for q in t],
+                                spec.new_states, emesh, max_particles,
+                                stats=stats))
+                             for pb, t in spec.branches]
+                    ens = prune_sharded(concat_sharded(parts, emesh),
+                                        max_particles, emesh, stats=stats)
+            elif sample:
+                ens = replace_sample_sharded(
+                    next_key(), ens, cur_n,
+                    [pos[q] - k for q in spec.targets],
+                    spec.new_states, emesh, stats=stats)
             else:
                 ens = replace_fanout_sharded(
                     ens, cur_n, [pos[q] - k for q in spec.targets],
@@ -1251,16 +1299,16 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
             if spec.branches and len(spec.branches) > 1:
                 # ProbVal target sets: localize the UNION, run per-branch
                 # sharded discards, canonicalize each branch to the
-                # identity layout, then mix on the particle axis
-                if sample:
-                    raise ValueError(
-                        "ProbVal disc targets are not supported in "
-                        "sampling mode - use the exact fan-out (sample=0) "
-                        "or the dense interpreter")
+                # identity layout, then mix on the particle axis.  Exact
+                # mode prunes the concat (top-k); sample mode resamples
+                # back down to the fixed population instead (unbiased;
+                # VERDICT r4 #5) — the branch draw happens per particle
+                # through the resampling weights p_b.
                 from qbot_tpu.tpu.sharded import plan_perm_to_identity
                 from qbot_tpu.tpu.sharded_ensemble import (
                     concat_sharded,
                     prune_sharded,
+                    resample_down_sharded,
                 )
 
                 union = sorted({q for _, t in spec.branches for q in t})
@@ -1271,11 +1319,19 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
                 for p, q in enumerate(perm):
                     pos[q] = p
                 new_n = cur_n - len(spec.branches[0][1])
+                t0 = _time.perf_counter()
+                B_keep = ens.num_particles
                 parts = []
                 for p, tset in spec.branches:
                     local = sorted(pos[q] - k for q in tset)
-                    e2 = discard_fanout_sharded(ens, cur_n, local, emesh,
-                                                max_particles, stats=stats)
+                    if sample:
+                        e2 = discard_sample_sharded(
+                            next_key(), ens, cur_n, local, emesh,
+                            stats=stats)
+                    else:
+                        e2 = discard_fanout_sharded(
+                            ens, cur_n, local, emesh, max_particles,
+                            stats=stats)
                     removed = {pos[q] for q in tset}
                     bperm = [q - sum(1 for r in tset if r < q)
                              for pp, q in enumerate(perm)
@@ -1284,8 +1340,23 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
                     if fix:
                         e2 = run_items(e2, fix, new_n, idp)
                     parts.append((p, e2))
-                ens = prune_sharded(concat_sharded(parts, emesh),
-                                    max_particles, emesh, stats=stats)
+                if sample:
+                    ens = resample_down_sharded(
+                        next_key(), concat_sharded(parts, emesh),
+                        B_keep, emesh, stats=stats)
+                    _drain(ens)
+                    _bucket("collapse", _time.perf_counter() - t0)
+                    t0 = _time.perf_counter()
+                    ens, _ = maybe_exchange_islands(
+                        next_key(), ens, emesh,
+                        threshold=island_ess_threshold, stats=stats)
+                    _drain(ens)
+                    _bucket("exchange", _time.perf_counter() - t0)
+                else:
+                    ens = prune_sharded(concat_sharded(parts, emesh),
+                                        max_particles, emesh, stats=stats)
+                    _drain(ens)
+                    _bucket("collapse", _time.perf_counter() - t0)
                 perm = list(range(new_n))
                 cur_n = new_n
                 save_snapshot(ei + 1, ens)

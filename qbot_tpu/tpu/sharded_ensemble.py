@@ -63,6 +63,7 @@ __all__ = ["EnsembleMesh", "ShardedEnsemble", "init_sharded_ensemble",
            "apply_sharded_plan_ensemble", "measure_fanout_sharded",
            "discard_fanout_sharded", "measure_sample_sharded",
            "discard_sample_sharded", "peek_probs_sharded",
+           "replace_sample_sharded", "resample_down_sharded",
            "prune_sharded", "concat_sharded", "maybe_exchange_islands",
            "island_log_weights",
            "gather_ensemble", "sharded_ensemble_mixture"]
@@ -1027,6 +1028,143 @@ def discard_sample_sharded(key, ens: ShardedEnsemble, n: int,
                         out_specs=(spec_w, spec_psi, P()))
     ck = ("ds", n, tuple(sorted(local_targets)), q_sharded, B_total,
           float(ess_threshold), _mesh_key(emesh), ens.psi.dtype)
+    log_w, psi, lost = _cached_jit(ck, mapped)(
+        key, ens.log_w, ens.psi, jnp.asarray(ens.lost_mass, jnp.float32))
+    return ShardedEnsemble(log_w, psi, lost)
+
+
+def replace_sample_sharded(key, ens: ShardedEnsemble, n: int,
+                           local_targets: Sequence[int],
+                           new_states,
+                           emesh: EnsembleMesh,
+                           q_sharded: bool = True,
+                           stats: Optional[dict] = None) -> ShardedEnsemble:
+    """SMC-mode targeted ``qset`` on the mesh (VERDICT r4 #5): constant
+    particle count.  Per particle: ONE traced-out basis state of the
+    (localized) target subsystem is sampled from its qubit-psummed Born
+    distribution and ONE eigen-branch of the new state from its static
+    weights, then the branch ket is tensored back in shard-locally.
+    Both draws are exact samples, so weights are untouched; PRNG keys
+    fold the GLOBAL particle index so every qubit shard of a particle
+    draws the same outcome/branch.
+    """
+    from qbot_tpu.inference.ensemble_exec import (
+        _carrier,
+        _insert_block,
+        _mask_factor_rows,
+        _safe_layouts,
+        _select_mask,
+        _sum_over_targets,
+    )
+
+    spec_w, spec_psi = emesh.specs(q_sharded)
+    k = emesh.k if q_sharded else 0
+    n_local = n - k
+    srt = sorted(local_targets)
+    t_l = len(srt)
+    B_total = ens.num_particles
+    Bl = B_total // emesh.P
+    phis = [(float(w), np.asarray(phi, np.float32))
+            for w, phi in new_states]
+    logits = np.log(np.asarray([w for w, _ in phis], np.float32))
+    phi_arr = np.stack([p for _, p in phis])
+    safe = _safe_layouts(n_local, t_l)
+    _count(stats, (1 if q_sharded else 0))
+
+    def body(rngkey, log_w, psi, lost):
+        shard = jax.lax.axis_index(emesh.p_axis)
+        gidx = shard * Bl + jnp.arange(Bl)
+        keys = jax.vmap(lambda i: jax.random.fold_in(rngkey, i))(gidx)
+        if safe:
+            p_all = jax.vmap(
+                lambda s: _outcome_probs_local(
+                    s, n_local, srt, emesh.q_axis, (), 0,
+                    q_sharded)[0])(psi)
+            outcomes = jax.vmap(
+                lambda kk, lp: jax.random.categorical(kk, lp)
+            )(keys, jnp.log(jnp.clip(p_all, _MIN_P)))
+            p_sel = jnp.take_along_axis(p_all, outcomes[:, None],
+                                        axis=1)[:, 0]
+            inv = 1.0 / jnp.sqrt(jnp.clip(p_sel, _MIN_P))
+            mrows = _mask_factor_rows(n_local, srt)
+            F, S, L = _carrier(n_local)
+
+            def extract(s, o, iv):
+                m = _select_mask(mrows, n_local, o)
+                masked = (s.reshape(2, F, S, L) * (m * iv)).reshape(2, -1)
+                return _sum_over_targets(masked, n_local, srt)
+
+            rests = jax.vmap(extract)(psi, outcomes, inv)
+        else:
+            p_all, states = jax.vmap(
+                lambda s: _discard_split_local(s, n_local, srt,
+                                               emesh.q_axis,
+                                               q_sharded))(psi)
+            outcomes = jax.vmap(
+                lambda kk, lp: jax.random.categorical(kk, lp)
+            )(keys, jnp.log(jnp.clip(p_all, _MIN_P)))
+            rests = jnp.take_along_axis(
+                states, outcomes[:, None, None, None], axis=1)[:, 0]
+        bkeys = jax.vmap(
+            lambda i: jax.random.fold_in(rngkey, 1_000_000_000 + i))(gidx)
+        draws = jax.vmap(
+            lambda kk: jax.random.categorical(kk, jnp.asarray(logits))
+        )(bkeys)
+        phi_b = jnp.asarray(phi_arr, psi.dtype)[draws]
+        new_psi = jax.vmap(
+            lambda ph, r: _insert_block(ph, r, n_local, list(local_targets))
+        )(phi_b, rests)
+        return log_w, new_psi, lost
+
+    mapped = _shard_map(body, mesh=emesh.mesh,
+                        in_specs=(P(), spec_w, spec_psi, P()),
+                        out_specs=(spec_w, spec_psi, P()))
+    ck = ("rss", n, tuple(local_targets), q_sharded, B_total,
+          _mesh_key(emesh), ens.psi.dtype,
+          tuple((w, p.tobytes()) for w, p in phis))
+    log_w, psi, lost = _cached_jit(ck, mapped)(
+        key, ens.log_w, ens.psi, jnp.asarray(ens.lost_mass, jnp.float32))
+    return ShardedEnsemble(log_w, psi, lost)
+
+
+def resample_down_sharded(key, ens: ShardedEnsemble, B_target: int,
+                          emesh: EnsembleMesh,
+                          q_sharded: bool = True,
+                          stats: Optional[dict] = None) -> ShardedEnsemble:
+    """Shard-local systematic resample from the current batch down to
+    ``B_target`` particles (island scheme: each particle shard resamples
+    within itself and keeps its island's total weight, redistributed
+    uniformly).  The SMC-mode replacement for the exact path's top-k
+    prune after a branch concat — resampling is unbiased where top-k is
+    not.  Weights must not be island-degenerate at the call site; the
+    caller's :func:`maybe_exchange_islands` cadence handles that.
+    """
+    spec_w, spec_psi = emesh.specs(q_sharded)
+    B_in = ens.num_particles
+    Bl_in = B_in // emesh.P
+    Bl_out = max(1, B_target // emesh.P)
+    _count(stats, 0)
+
+    def body(rngkey, log_w, psi, lost):
+        shard = jax.lax.axis_index(emesh.p_axis)
+        rkey = jax.random.fold_in(rngkey, shard)
+        m = jnp.max(log_w)
+        safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
+        w = jnp.exp(log_w - safe_m)
+        z = jnp.sum(w)
+        wn = w / jnp.clip(z, _MIN_P)
+        u = (jax.random.uniform(rkey, ()) + jnp.arange(Bl_out)) / Bl_out
+        idx = jnp.clip(jnp.searchsorted(jnp.cumsum(wn), u), 0, Bl_in - 1)
+        island_log = safe_m + jnp.log(jnp.clip(z, _MIN_P))
+        new_lw = jnp.full((Bl_out,), island_log - np.log(Bl_out),
+                          log_w.dtype)
+        return new_lw, psi[idx], lost
+
+    mapped = _shard_map(body, mesh=emesh.mesh,
+                        in_specs=(P(), spec_w, spec_psi, P()),
+                        out_specs=(spec_w, spec_psi, P()))
+    ck = ("rd", B_in, Bl_out, q_sharded, _mesh_key(emesh),
+          ens.psi.dtype, ens.psi.shape)
     log_w, psi, lost = _cached_jit(ck, mapped)(
         key, ens.log_w, ens.psi, jnp.asarray(ens.lost_mass, jnp.float32))
     return ShardedEnsemble(log_w, psi, lost)

@@ -352,12 +352,13 @@ class TestDeviceTargetedQset:
         host, dev = _both(src)
         _assert_state_close(host, dev)
 
-    def test_sample_mode_renders_clear_error(self):
-        import qbot_tpu.errors as err
-
+    def test_sample_mode_matches_exact(self):
+        # round 5 (VERDICT r4 #5): targeted qset WORKS under sample > 0
         src = ("qset tensorProd(comp[0], comp[0])\n"
+               "gate hadamardGate ; 1\n"
                "qset comp[1] ; [0]\n"
                "meas m ; computation")
-        with pytest.raises(err.QbotScriptError,
-                           match="targeted qset"):
-            executeTxtDeviceEnsemble(src, sample=16)
+        exact = executeTxtDeviceEnsemble(src)
+        sampled = executeTxtDeviceEnsemble(src, sample=1024, seed=4)
+        np.testing.assert_allclose(sampled["m"].probs, exact["m"].probs,
+                                   atol=0.06)

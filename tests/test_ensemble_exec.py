@@ -531,7 +531,9 @@ class TestTargetedQset:
                                    np.asarray(ns["state"], complex),
                                    atol=1e-7)
 
-    def test_sampling_mode_renders_clear_error(self):
+    def test_sampling_mode_matches_exact(self):
+        # round 5 (VERDICT r4 #5): targeted qset WORKS under sample > 0
+        # — per-particle traced-outcome + new-state-branch draws
         from qbot_tpu.frontend.lowering import lower_program
 
         src = ("qset tensorProd(comp[0], comp[0])\n"
@@ -539,8 +541,11 @@ class TestTargetedQset:
                "qset comp[0] ; [1]\n"
                "meas m ; computation")
         lp = lower_program(src, mid_measure=True)
-        with pytest.raises(ValueError, match="targeted qset"):
-            run_lowered_ensemble(lp, sample=16)
+        exact, _ = run_lowered_ensemble(lp)
+        lp2 = lower_program(src, mid_measure=True)
+        sampled, _ = run_lowered_ensemble(lp2, sample=1024, seed=2)
+        np.testing.assert_allclose(sampled["m"].probs, exact["m"].probs,
+                                   atol=0.06)
 
 
 class TestTilingSafeCollapse:
