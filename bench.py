@@ -1,15 +1,21 @@
 """Benchmark: gate-applications/s on one chip (BASELINE north-star metric).
 
-Two workloads at 26 qubits on the TPU statevector engine:
+Workloads on the real TPU chip:
 
-* **Grover** (headline, matches BENCH_r01): the compiler's structural
+* **Grover 26q** (headline, matches BENCH_r01): the compiler's structural
   Householder-reflection detection collapses each iteration to ONE fused
   HBM pass (scanned XLA loop — measured faster than any kernel here).
-* **General circuit**: a 4-layer brickwork of random SU(2) gates + CX
-  entanglers, the path every non-Grover program takes — pair-fused
-  window matmuls on the Pallas kernels with cross-window controlled
-  phases fused in-register.  Also timed with the kernels disabled, so the
-  JSON records the Pallas-vs-XLA-fallback ratio on real hardware.
+  Cold-start decomposes into staged fields (construct/trace/backend/
+  first-run — VERDICT r4 weak #1).
+* **General circuit 26q**: a 256-layer brickwork of random SU(2) gates +
+  CX entanglers (16-layer scan bodies; see GENERAL_LAYERS), the path
+  every non-Grover program takes — the in-place dot engine, plus the
+  XLA-fallback ratio, the Pallas lineage number, and the reduced-
+  precision rows (bf16_3x, f32_mix+renorm) with norm/delta canaries.
+* **Density 13q** (= 26q planar): mixed states through density_plan_2n
+  on the same engine — the reference's only representation.
+* **SMC 24q** (BASELINE config 5 north star): particles through a
+  mid-measurement program in sample mode on the sharded-ensemble path.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 baseline is the same-task, same-qubit-count dense NumPy contraction path —
@@ -102,14 +108,19 @@ def tpu_grover() -> tuple[float, dict]:
 
     from qbot_tpu.utils.compile_cache import CacheHitProbe
 
+    # construction includes the ONE-TIME axon backend init (~10 s of
+    # plugin/device discovery on first touch) — timed as its own stage
+    # so the cold-start number decomposes fully (VERDICT r4 weak #1)
+    t0 = time.perf_counter()
     body_plan = compile_circuit(body)
     run = make_scanned_planar_runner(body_plan, GROVER_REPEATS,
                                      init_plan=compile_circuit(init))
     psi0 = zero_state_planar(n)
+    construct_s = time.perf_counter() - t0
 
     with CacheHitProbe() as probe:
         stages, out = _timed_stages(run, psi0)  # staged compile+first run
-    compile_s = stages["total_s"]
+    compile_s = stages["total_s"] + construct_s
     elapsed = min(_timed(run, psi0)[0] for _ in range(2))
     _, out = _timed(run, psi0)
 
@@ -128,6 +139,7 @@ def tpu_grover() -> tuple[float, dict]:
         "grover_iterations": GROVER_REPEATS,
         "hbm_passes_per_iteration": body_plan.num_passes,
         "compile_seconds": round(compile_s, 2),
+        "compile_construct_seconds": round(construct_s, 2),
         "compile_trace_seconds": round(stages["trace_s"], 2),
         "compile_backend_seconds": round(stages["backend_s"], 2),
         "compile_first_run_seconds": round(stages["first_run_s"], 2),
@@ -288,8 +300,89 @@ def tpu_general() -> dict:
     }
 
 
+DENSITY_QUBITS = 13    # 13q density = 26q planar through density_plan_2n
+DENSITY_LAYERS = 8
+DENSITY_REPEATS = 16
+
+
+def tpu_density() -> dict:
+    """Mixed-state throughput on-chip (VERDICT r4 missing #3): a 13-qubit
+    density-matrix brickwork — the reference's ONLY representation
+    (/root/reference/qbot/qgates.py:278-279 is always G rho G-dagger) —
+    through the 2n-qubit rows+conjugated-columns rewrite
+    (tpu/dotplan.density_plan_2n), so rho runs on the same in-place dot
+    engine as the statevector headline.  Canaries: trace preservation
+    and a one-body delta against the step-by-step density executor.
+    """
+    import jax.numpy as jnp
+
+    import gc
+
+    import jax
+
+    from qbot_tpu.tpu.compiler import compile_circuit
+    from qbot_tpu.tpu.dotplan import (
+        density_plan_2n,
+        lower_dot_plan,
+        make_scanned_dot_runner,
+    )
+    from qbot_tpu.tpu.planar import (
+        make_planar_density_runner,
+        zero_density_planar,
+    )
+    from qbot_tpu.utils.compile_cache import CacheHitProbe
+
+    # the prior sections' cached executables pin ~GBs of constants and
+    # outputs; the 13q density state is 512 MB per buffer and the canary
+    # needs several — start from a clean HBM slate (persistent cache
+    # makes the re-loads ~0.3 s)
+    jax.clear_caches()
+    gc.collect()
+
+    nd = DENSITY_QUBITS
+    body = _brickwork(nd, DENSITY_LAYERS, seed=7)
+    plan = compile_circuit(body, window="auto")
+    big = density_plan_2n(plan)
+    big.engine = "dot"
+    assert lower_dot_plan(big) is not None
+    run = make_scanned_dot_runner(big, DENSITY_REPEATS)
+    rho0 = zero_density_planar(nd).reshape(2, -1)
+
+    with CacheHitProbe() as probe:
+        compile_s, out = _timed(run, rho0)
+    elapsed = min(_timed(run, rho0)[0] for _ in range(2))
+    _, out = _timed(run, rho0)
+    gates = body.gate_count * DENSITY_REPEATS
+
+    rho = jnp.asarray(out).reshape(2, 2**nd, 2**nd)
+    trace = float(jnp.sum(jnp.diagonal(rho[0])))
+    # one-body parity vs the step-by-step density executor (jitted so
+    # XLA manages the 512 MB intermediates instead of eager per-op
+    # buffers)
+    plan_step = compile_circuit(body, window="auto")
+    plan_step.engine = "pallas"
+    ref1 = make_planar_density_runner(plan_step)(zero_density_planar(nd))
+    delta_dev = jax.jit(
+        lambda r: jnp.max(jnp.abs(
+            make_planar_density_runner(plan)(
+                zero_density_planar(nd)) - r)))(ref1)
+    delta = float(delta_dev)
+    return {
+        "density_gates_per_s": round(gates / elapsed, 1),
+        "density_qubits": nd,
+        "density_layers": DENSITY_LAYERS,
+        "density_repeats": DENSITY_REPEATS,
+        "density_hbm_passes_per_body": _engine_passes(big),
+        "density_compile_seconds": round(compile_s, 2),
+        "density_compile_cache_evidence": probe.verdict(),
+        "density_run_seconds": round(elapsed, 4),
+        "density_trace": round(trace, 6),
+        "density_vs_step_executor_delta": float(f"{delta:.2e}"),
+    }
+
+
 SMC_QUBITS = 24
-SMC_PARTICLES = 32
+SMC_PARTICLES = 8    # 24q measure executor peaks ~12x the ensemble bytes; 16 particles (2 GB) compile-OOMs at 24 GB
 
 
 def tpu_smc() -> dict:
@@ -303,6 +396,8 @@ def tpu_smc() -> dict:
     through the program (4 collapse events).  The program matches the
     SCALING anchors (rounds 3-5) for cross-artifact comparability.
     """
+    import gc
+
     import jax
 
     from qbot_tpu.frontend.lowering import (
@@ -311,6 +406,9 @@ def tpu_smc() -> dict:
     )
     from qbot_tpu.tpu.sharding import make_mesh
     from qbot_tpu.utils.compile_cache import CacheHitProbe
+
+    jax.clear_caches()           # free the prior sections' pinned HBM
+    gc.collect()
 
     n = SMC_QUBITS
 
@@ -395,6 +493,7 @@ def main():
     # load executables in ~0.3 s each.
     value, info = tpu_grover()
     general = tpu_general()
+    density = tpu_density()
     smc = tpu_smc()
     baseline = numpy_baseline_gates_per_sec()
     out = {
@@ -407,6 +506,7 @@ def main():
         "compile_cache": "warm" if warm else "cold",
         **info,
         **general,
+        **density,
         **smc,
     }
     print(json.dumps(out))

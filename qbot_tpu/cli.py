@@ -40,12 +40,18 @@ def build_parser() -> argparse.ArgumentParser:
                         help="complex precision (default: c128 numpy, c64 jax)")
     parser.add_argument("--seed", type=int, default=0,
                         help="PRNG seed for sampling layers (SMC/HMC)")
-    parser.add_argument("--precision", choices=["f32", "bf16_3x", "bf16"],
+    parser.add_argument("--precision",
+                        choices=["f32", "f32_mix", "bf16_3x", "bf16"],
                         default=None,
                         help="device kernel matmul precision: f32 (6-pass "
-                             "bf16 decomposition, default), bf16_3x "
-                             "(~2x faster MXU, ~1e-5 per-gate error), "
-                             "bf16 (fastest, exploratory)")
+                             "bf16 decomposition, default), f32_mix "
+                             "(3-pass bf16 only on MXU-bound windows, "
+                             "f32 elsewhere), bf16_3x (~2x faster MXU), "
+                             "bf16 (fastest, exploratory).  Error "
+                             "contract for the reduced modes: "
+                             "docs/perf.md (norm drift is the dominant "
+                             "term; scanned runners offer free-cadence "
+                             "renormalisation)")
     parser.add_argument("--profile", action="store_true",
                         help="print a per-line wall-time report after execution")
     parser.add_argument("--compile", dest="compile_mode", action="store_true",

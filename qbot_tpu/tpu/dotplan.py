@@ -110,6 +110,20 @@ class _Diag:
 
 
 @dataclass(frozen=True)
+class _DiagCarrier:
+    """Diagonal step in the pinned-carrier broadcast formulation: the
+    per-target small diag broadcasts over the (2,)*n axes and reshapes
+    to the (F, S, L) carrier at the materialisation point — tiling-safe
+    for ANY target set (the grouped view of, e.g., a CZ diag on qubits
+    (5, 6) at n=26 has a width-4 second-minor dim and would pad 2×;
+    scattered targets can be outright fatal).  Same formulation as
+    sharded_ensemble._batched_sharded_diag's large-n path."""
+    targets: tuple[int, ...]
+    dr: np.ndarray                    # (2,)*t real part
+    di: np.ndarray
+
+
+@dataclass(frozen=True)
 class _Flip:
     index: int
 
@@ -284,9 +298,15 @@ def lower_dot_plan(plan: Plan, cycle: bool = True) -> Optional[DotPlan]:
             d = phase_as_diag(s) if isinstance(s, PhaseStep) else s
             from qbot_tpu.tpu.planar import _diag_grouped_views
             view, dr, di = _diag_grouped_views(n, tuple(d.targets), d.diag)
-            if not _grouped_view_ok(view, n):
-                return None
-            lowered.append(_Diag(view, dr, di))
+            if _grouped_view_ok(view, n):
+                lowered.append(_Diag(view, dr, di))
+            else:
+                t = len(d.targets)
+                dd = np.asarray(d.diag)
+                lowered.append(_DiagCarrier(
+                    tuple(d.targets),
+                    dd.real.astype(np.float32).reshape((2,) * t),
+                    dd.imag.astype(np.float32).reshape((2,) * t)))
         elif isinstance(s, ReflectStep):
             lowered.append(_Reflect(s))
         elif isinstance(s, ContractStep):
@@ -428,6 +448,22 @@ def apply_plan_dot(psi: jnp.ndarray, lowered: DotPlan, params=None,
             pr, pi = t[0], t[1]
             out_r = s.dr * pr - s.di * pi
             out_i = s.dr * pi + s.di * pr
+            psi = jnp.stack([out_r, out_i]).reshape(cshape)
+        elif isinstance(s, _DiagCarrier):
+            bshape = [1] * n
+            for q in s.targets:
+                bshape[q] = 2
+            F, S, L = cshape[1:] if len(cshape) == 4 else (1, 1, cshape[1])
+            drb = jnp.broadcast_to(
+                jnp.asarray(s.dr).reshape(bshape), (2,) * n
+            ).reshape(F, S, L)
+            dib = jnp.broadcast_to(
+                jnp.asarray(s.di).reshape(bshape), (2,) * n
+            ).reshape(F, S, L)
+            t = psi.reshape((2,) + tuple((F, S, L)))
+            pr, pi = t[0], t[1]
+            out_r = drb * pr - dib * pi
+            out_i = drb * pi + dib * pr
             psi = jnp.stack([out_r, out_i]).reshape(cshape)
         elif isinstance(s, _Flip):
             psi = flip(psi, s.index)

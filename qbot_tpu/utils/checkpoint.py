@@ -133,12 +133,26 @@ class OrbaxCheckpointManager:
         args = None
         try:
             import jax
-            from jax.sharding import SingleDeviceSharding
+            from jax.sharding import (
+                Mesh,
+                NamedSharding,
+                PartitionSpec,
+                SingleDeviceSharding,
+            )
 
             item_meta = self._mgr.item_metadata(step)
             tree = getattr(item_meta["arrays"], "tree", None)
             if tree is not None:
-                default = SingleDeviceSharding(jax.devices()[0])
+                if jax.process_count() > 1:
+                    # multi-process: a single-device target is not a
+                    # valid GLOBAL sharding — default to replicated over
+                    # every device (callers pass real shardings for the
+                    # big arrays)
+                    default = NamedSharding(
+                        Mesh(np.asarray(jax.devices()), ("_all",)),
+                        PartitionSpec())
+                else:
+                    default = SingleDeviceSharding(jax.devices()[0])
                 targets = {
                     k: jax.ShapeDtypeStruct(
                         m.shape, m.dtype,

@@ -101,7 +101,12 @@ class TestMeshConstruction:
 class TestCollectives:
     def test_psum_weight_normalization(self, mesh):
         """SMC weight normalisation as a psum over the particle axis."""
-        from jax.experimental.shard_map import shard_map
+        # version-guarded import (jax.shard_map on new jax, the
+        # experimental module on old — same guard as tpu/sharded.py)
+        try:
+            from jax import shard_map
+        except ImportError:          # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
 
         lw = jnp.log(jnp.arange(1.0, 9.0))
         spec = P(("particles", "qubits"))
