@@ -121,6 +121,19 @@ def tpu_grover() -> tuple[float, dict]:
     with CacheHitProbe() as probe:
         stages, out = _timed_stages(run, psi0)  # staged compile+first run
     compile_s = stages["total_s"] + construct_s
+    repair_s = 0.0
+    if probe.misses:
+        # the AOT ``lowered.compile()`` path does NOT write the
+        # persistent cache (observed: a 95 s remote compile leaves no
+        # .jax_cache entry, so every fresh process misses again).
+        # Self-heal: drop the in-process executable and recompile via
+        # the plain-call path, which does write — the next run hits.
+        import jax as _jax
+
+        t0 = time.perf_counter()
+        _jax.clear_caches()
+        _timed(run, psi0)
+        repair_s = time.perf_counter() - t0
     elapsed = min(_timed(run, psi0)[0] for _ in range(2))
     _, out = _timed(run, psi0)
 
@@ -143,6 +156,7 @@ def tpu_grover() -> tuple[float, dict]:
         "compile_trace_seconds": round(stages["trace_s"], 2),
         "compile_backend_seconds": round(stages["backend_s"], 2),
         "compile_first_run_seconds": round(stages["first_run_s"], 2),
+        "compile_cache_repair_seconds": round(repair_s, 2),
         "compile_cache_evidence": probe.verdict(),
         "run_seconds": round(elapsed, 4),
         "marked_prob": round(p_marked, 8),
@@ -382,7 +396,7 @@ def tpu_density() -> dict:
 
 
 SMC_QUBITS = 24
-SMC_PARTICLES = 8    # 24q measure executor peaks ~12x the ensemble bytes; 16 particles (2 GB) compile-OOMs at 24 GB
+SMC_PARTICLES = 24   # fits after the round-5 layout/donation fixes; 32 still OOMs at runtime
 
 
 def tpu_smc() -> dict:

@@ -65,3 +65,53 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def main2():
+    """Same probes on the reflect runner's ACTUAL carry layout: two
+    separate flat (2^n,) planes (no leading size-2 axis)."""
+    import jax
+    import jax.numpy as jnp
+
+    N = 26
+    K = 64
+    bytes_rw = 2 * 2 * (2 ** N) * 4
+    a = jnp.ones((2 ** N,), jnp.float32) * 0.001
+    b = jnp.ones((2 ** N,), jnp.float32) * 0.002
+
+    import time
+
+    def timed(fn, label):
+        r = jax.jit(fn)
+        out = r(a, b)
+        _ = float(jnp.asarray(out[0]).ravel()[0])
+        t0 = time.perf_counter()
+        out = r(a, b)
+        _ = float(jnp.asarray(out[0]).ravel()[0])
+        dt = (time.perf_counter() - t0) / K
+        print(f"{label}: {dt * 1e3:.3f} ms/pass = "
+              f"{bytes_rw / dt / 1e9:.0f} GB/s")
+
+    def scan2(body):
+        def fn(x, y):
+            def step(c, _):
+                return body(*c), None
+            (x, y), _ = jax.lax.scan(step, (x, y), None, length=K)
+            return x, y
+        return fn
+
+    timed(scan2(lambda x, y: (x * jnp.float32(0.999999),
+                              y * jnp.float32(0.999999))),
+          "two-plane scale    ")
+
+    def reflect_like(x, y):
+        s1 = jnp.sum(x)
+        s2 = jnp.sum(y)
+        return (x * jnp.float32(0.9999) + s1 * jnp.float32(1e-12),
+                y * jnp.float32(0.9999) + s2 * jnp.float32(1e-12))
+
+    timed(scan2(reflect_like), "two-plane scale+sum")
+
+
+if __name__ == "__main__":
+    main2()

@@ -1170,6 +1170,17 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
         stats["hbm_bytes"] += B * splan.hbm_bytes()
         stats["num_reshards"] += splan.num_reshards
 
+    # donate input ensembles on real backends: the segment path drops
+    # its input, halving executor live-HBM (in + out ensembles).  CPU
+    # jax may not honour donation (and would warn in tests), and any
+    # array captured by a lazy dense-replay provider must never be
+    # donated — ``protected`` tracks those captures by identity.
+    _don = jax.default_backend() != "cpu"
+    protected: set[int] = set()
+
+    def _donok(e) -> bool:
+        return _don and id(e.psi) not in protected
+
     def run_segment(ens, ops, n, perm):
         if not ops:
             return ens, perm
@@ -1179,20 +1190,23 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
         seg.num_params = lp.circuit.num_params
         splan = compile_sharded(seg, k, window=window, initial_perm=perm)
         acc(splan, ens.num_particles)
-        out = (apply_sharded_plan_ensemble(ens, splan, emesh),
+        out = (apply_sharded_plan_ensemble(ens, splan, emesh,
+                                           donate=_donok(ens)),
                list(splan.final_perm))
         _drain(out[0])
         _bucket("segment", _time.perf_counter() - t0)
         return out
 
-    def run_items(ens, items, n, perm):
+    def run_items(ens, items, n, perm, donate=None):
         if not items:
             return ens
         t0 = _time.perf_counter()
         splan = ShardedPlan(n=n, k=k, items=list(items), final_perm=perm,
                             num_params=lp.circuit.num_params)
         acc(splan, ens.num_particles)
-        out = apply_sharded_plan_ensemble(ens, splan, emesh)
+        out = apply_sharded_plan_ensemble(
+            ens, splan, emesh,
+            donate=_donok(ens) if donate is None else donate)
         _drain(out)
         _bucket("reshard", _time.perf_counter() - t0)
         return out
@@ -1370,7 +1384,8 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
             t0 = _time.perf_counter()
             if sample:
                 ens = discard_sample_sharded(next_key(), ens, cur_n, local,
-                                             emesh, stats=stats)
+                                             emesh, stats=stats,
+                                             donate=_donok(ens))
                 _drain(ens)
                 _bucket("collapse", _time.perf_counter() - t0)
                 t0 = _time.perf_counter()
@@ -1399,6 +1414,7 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
 
             provider = (lambda e=ens, pm=list(perm):
                         sharded_ensemble_mixture(e, pm))
+            protected.add(id(ens.psi))     # never donate a captured array
         else:
             provider = _too_large_provider(cur_n)
         rot_needed = not is_comp(spec.basis)
@@ -1444,9 +1460,12 @@ def run_lowered_sharded_ensemble(lp: LoweredProgram, mesh=None,
         if spec.collapse:
             t0 = _time.perf_counter()
             if sample:
+                # donate only when the lazy dense-replay provider cannot
+                # hold a reference to the pre-measurement ensemble
                 ens_m, dist = measure_sample_sharded(
                     next_key(), ens_m, cur_n, local, emesh,
-                    shard_positions=shard_pos, stats=stats)
+                    shard_positions=shard_pos, stats=stats,
+                    donate=_donok(ens_m))
                 _drain(ens_m)
                 _bucket("collapse", _time.perf_counter() - t0)
                 t0 = _time.perf_counter()

@@ -241,10 +241,30 @@ def _outcome_mask(n: int, targets, k: int):
 
 
 def _probs_by_reduce(psi, n: int, targets):
-    """(K,) outcome probabilities via a grouped-view reduction."""
+    """(K,) outcome probabilities of the (sorted-)target bits.
+
+    Large registers use a mask-factor einsum chain over the (F, S, L)
+    carrier — p_k = Σ m_f[k,f]·m_s[k,s]·m_l[k,l]·|ψ|²[f,s,l] — instead
+    of reducing a rank-n (2,)*n view: the high-rank reduce biases XLA's
+    layout assignment into transposed (8,128)-tiled program layouts
+    whose size-2 dim pads 8× (a measured 16 GB partitioner copy for a
+    2 GB ensemble at 24q, the SMC particle-count ceiling).  K is tiny,
+    so the chain costs ~K extra reads of nothing (three skinny dots).
+    """
+    srt = sorted(targets)
+    if n >= _MASK_N_MIN:
+        mf, ms, ml = _mask_factor_rows(n, srt)    # (K,F),(K,S),(K,L)
+        F, S, L = _carrier(n)
+        sq = (psi[0] ** 2 + psi[1] ** 2).reshape(F, S, L)
+        t = jnp.einsum("kf,fsl->ksl", mf, sq,
+                       precision=jax.lax.Precision.HIGHEST)
+        t = jnp.einsum("ks,ksl->kl", ms, t,
+                       precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("kl,kl->k", ml, t,
+                          precision=jax.lax.Precision.HIGHEST)
     sq = psi[0] ** 2 + psi[1] ** 2
     v = sq.reshape((2,) * n)
-    other = tuple(a for a in range(n) if a not in set(targets))
+    other = tuple(a for a in range(n) if a not in set(srt))
     p = jnp.sum(v, axis=other) if other else v
     return p.reshape(-1)
 

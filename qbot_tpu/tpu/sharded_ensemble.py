@@ -91,10 +91,10 @@ _MIN_P = 1e-12
 _JIT_CACHE: dict = {}
 
 
-def _cached_jit(key, mapped):
+def _cached_jit(key, mapped, donate_argnums=()):
     fn = _JIT_CACHE.get(key)
     if fn is None:
-        fn = jax.jit(mapped)
+        fn = jax.jit(mapped, donate_argnums=tuple(donate_argnums))
         _JIT_CACHE[key] = fn
     return fn
 
@@ -386,9 +386,16 @@ def _batched_sharded_reflect(psi, item: ShardedReflect, k: int,
 
 def apply_sharded_plan_ensemble(ens: ShardedEnsemble, splan: ShardedPlan,
                                 emesh: EnsembleMesh,
-                                params=None) -> ShardedEnsemble:
+                                params=None,
+                                donate: bool = False) -> ShardedEnsemble:
     """Run a qubit-sharded plan over every particle (no collectives on the
-    particle axis; reshards/psums ride the qubit axis only)."""
+    particle axis; reshards/psums ride the qubit axis only).
+
+    ``donate=True`` donates the input state buffer — halves the
+    executor's live HBM (in + out ensembles) for callers that drop the
+    old ensemble (the runner's segment path); never pass it when the
+    input is still referenced (e.g. a peek's rotation copy).
+    """
     spec_w, spec_psi = emesh.specs(q_sharded=splan.k > 0)
 
     def body(psi, prm):
@@ -401,13 +408,14 @@ def apply_sharded_plan_ensemble(ens: ShardedEnsemble, splan: ShardedPlan,
     from qbot_tpu.tpu import kernels
     from qbot_tpu.tpu.sharded import splan_cache_key
 
+    dons = (0,) if donate else ()
     digest = splan_cache_key(splan)
     if digest is None:                 # parameterised plan: not cacheable
-        psi = jax.jit(mapped)(ens.psi, params)
+        psi = jax.jit(mapped, donate_argnums=dons)(ens.psi, params)
     else:
         ck = ("ap", digest, _mesh_key(emesh), ens.psi.shape,
-              ens.psi.dtype, kernels.dot_mode())
-        psi = _cached_jit(ck, mapped)(ens.psi, params)
+              ens.psi.dtype, kernels.dot_mode(), donate)
+        psi = _cached_jit(ck, mapped, dons)(ens.psi, params)
     return ShardedEnsemble(ens.log_w, psi, ens.lost_mass)
 
 
@@ -858,7 +866,8 @@ def measure_sample_sharded(key, ens: ShardedEnsemble, n: int,
                            ess_threshold: float = 0.5,
                            shard_positions: Sequence[int] = (),
                            q_sharded: bool = True,
-                           stats: Optional[dict] = None
+                           stats: Optional[dict] = None,
+                           donate: bool = False
                            ) -> tuple[ShardedEnsemble, jax.Array]:
     """SMC-mode measurement on the mesh: each particle SAMPLES one outcome
     from its own (qubit-psummed) Born distribution — the optimal proposal,
@@ -874,7 +883,7 @@ def measure_sample_sharded(key, ens: ShardedEnsemble, n: int,
     Bl = B_total // emesh.P
     _count(stats, (1 if (shard_positions or q_sharded) else 0) + 2 + 1 + 2)
 
-    from qbot_tpu.inference.ensemble_exec import _safe_layouts
+    from qbot_tpu.inference.ensemble_exec import _carrier, _safe_layouts
 
     t_l = len(sorted(local_targets))
     K_l = 2 ** t_l
@@ -882,6 +891,9 @@ def measure_sample_sharded(key, ens: ShardedEnsemble, n: int,
 
     def body(rngkey, log_w, psi, lost):
         if safe:
+            # psi arrives in the 5-D carrier boundary shape (see below);
+            # the per-particle helpers view it flat fusion-internally
+            psi = psi.reshape(Bl, 2, -1)
             p_all = jax.vmap(
                 lambda s: _outcome_probs_local(
                     s, n_local, local_targets, emesh.q_axis,
@@ -904,7 +916,6 @@ def measure_sample_sharded(key, ens: ShardedEnsemble, n: int,
         )(keys, jnp.log(jnp.clip(p_all, _MIN_P)))
         if safe:
             from qbot_tpu.inference.ensemble_exec import (
-                _carrier,
                 _mask_factor_rows,
                 _select_mask,
             )
@@ -923,8 +934,7 @@ def measure_sample_sharded(key, ens: ShardedEnsemble, n: int,
 
             def collapse(s, o, iv, mt):
                 m = _select_mask(mrows, n_local, o % K_l)
-                return (s.reshape(2, F, S, L)
-                        * (m * (iv * mt))).reshape(2, -1)
+                return s.reshape(2, F, S, L) * (m * (iv * mt))
 
             new_psi = jax.vmap(collapse)(psi, outcomes, inv, match)
         else:
@@ -941,14 +951,35 @@ def measure_sample_sharded(key, ens: ShardedEnsemble, n: int,
                                            threshold=ess_threshold)
         return new_lw, new_psi, lost, dist
 
+    # 5-D carrier jit boundary in the safe regime: with the flat
+    # (B, 2, 2^n) boundary shape, the Shardy partitioner's input-
+    # marshalling copy of psi picks an (8,128)-tiled layout whose size-2
+    # second-minor dim pads 8x — a measured 16 GB HLO temp for a 2 GB
+    # ensemble at 24q (12.5% utilization), which capped the SMC particle
+    # count.  The (B, 2, F, S, L) boundary has exact (8,128) trailing
+    # dims, so no program layout can pad it.
+    if safe:
+        F, S, L = _carrier(n_local)
+        Fg = (ens.psi.shape[-1] * (emesh.K if q_sharded else 1)) // (S * L)
+        spec5 = (P(emesh.p_axis, None, emesh.q_axis, None, None)
+                 if q_sharded else P(emesh.p_axis, None, None, None, None))
+        in_psi = ens.psi.reshape(B_total, 2, Fg, S, L)
+        specs_in = (P(), spec_w, spec5, P())
+        specs_out = (spec_w, spec5, P(), P())
+    else:
+        in_psi = ens.psi
+        specs_in = (P(), spec_w, spec_psi, P())
+        specs_out = (spec_w, spec_psi, P(), P())
     mapped = _shard_map(body, mesh=emesh.mesh,
-                        in_specs=(P(), spec_w, spec_psi, P()),
-                        out_specs=(spec_w, spec_psi, P(), P()))
+                        in_specs=specs_in, out_specs=specs_out)
     ck = ("ms", n, tuple(sorted(local_targets)), tuple(shard_positions),
           q_sharded, B_total, float(ess_threshold), _mesh_key(emesh),
-          ens.psi.dtype)
-    log_w, psi, lost, dist = _cached_jit(ck, mapped)(
-        key, ens.log_w, ens.psi, jnp.asarray(ens.lost_mass, jnp.float32))
+          ens.psi.dtype, donate)
+    log_w, psi, lost, dist = _cached_jit(
+        ck, mapped, (2,) if donate else ())(
+        key, ens.log_w, in_psi, jnp.asarray(ens.lost_mass, jnp.float32))
+    if safe:
+        psi = psi.reshape(B_total, 2, -1)
     return ShardedEnsemble(log_w, psi, lost), dist
 
 
@@ -957,7 +988,8 @@ def discard_sample_sharded(key, ens: ShardedEnsemble, n: int,
                            emesh: EnsembleMesh,
                            ess_threshold: float = 0.5,
                            q_sharded: bool = True,
-                           stats: Optional[dict] = None) -> ShardedEnsemble:
+                           stats: Optional[dict] = None,
+                           donate: bool = False) -> ShardedEnsemble:
     """SMC-mode ``disc`` on the mesh: sample ONE traced-out basis state
     per particle; the register shrinks at constant particle count."""
     spec_w, spec_psi = emesh.specs(q_sharded)
@@ -1018,17 +1050,29 @@ def discard_sample_sharded(key, ens: ShardedEnsemble, n: int,
         s2 = jax.lax.psum(jnp.sum(jnp.exp(2.0 * lw_n)), emesh.p_axis)
         ess_frac = (s1 * s1) / jnp.clip(s2, _MIN_P) / B_total
         rkey = jax.random.fold_in(rngkey, 2_000_000_000 + shard)
+        # tiling-safe 5-D carrier view through the resample cond (see
+        # measure_sample_sharded: the flat (Bl, 2, 2^m) temp pads 8x)
+        cshape = new_psi.shape
+        m_out = n_local - t_l
+        if safe and m_out >= 14:
+            from qbot_tpu.inference.ensemble_exec import (
+                _carrier as _car,
+            )
+
+            F2, S2, L2 = _car(m_out)
+            new_psi = new_psi.reshape(Bl, 2, F2, S2, L2)
         new_lw, new_psi = _island_resample(rkey, log_w, new_psi, ess_frac,
                                            emesh.p_axis,
                                            threshold=ess_threshold)
-        return new_lw, new_psi, lost
+        return new_lw, new_psi.reshape(cshape), lost
 
     mapped = _shard_map(body, mesh=emesh.mesh,
                         in_specs=(P(), spec_w, spec_psi, P()),
                         out_specs=(spec_w, spec_psi, P()))
     ck = ("ds", n, tuple(sorted(local_targets)), q_sharded, B_total,
-          float(ess_threshold), _mesh_key(emesh), ens.psi.dtype)
-    log_w, psi, lost = _cached_jit(ck, mapped)(
+          float(ess_threshold), _mesh_key(emesh), ens.psi.dtype, donate)
+    log_w, psi, lost = _cached_jit(ck, mapped,
+                                   (2,) if donate else ())(
         key, ens.log_w, ens.psi, jnp.asarray(ens.lost_mass, jnp.float32))
     return ShardedEnsemble(log_w, psi, lost)
 
