@@ -396,7 +396,7 @@ def tpu_density() -> dict:
 
 
 SMC_QUBITS = 24
-SMC_PARTICLES = 24   # fits after the round-5 layout/donation fixes; 32 still OOMs at runtime
+SMC_PARTICLES = 32   # ceiling with donated boundary conversions; 48 OOMs (executor-chain peak)
 
 
 def tpu_smc() -> dict:

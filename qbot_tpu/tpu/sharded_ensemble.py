@@ -103,6 +103,23 @@ def _mesh_key(emesh: EnsembleMesh):
     return (emesh.mesh, emesh.p_axis, emesh.q_axis)
 
 
+def _boundary_reshape(x, shape, donate: bool):
+    """Jitted (optionally donating) reshape for executor jit boundaries.
+
+    The flat↔5-D-carrier conversions around the sample-mode executors
+    are relayout COPIES on TPU; doing them eagerly keeps both buffers
+    live (+1 ensemble of peak HBM per conversion) and re-traces nothing.
+    A donated jitted reshape frees the source immediately.
+    """
+    ck = ("br", x.shape, tuple(shape), x.dtype, bool(donate), x.sharding)
+    fn = _JIT_CACHE.get(ck)
+    if fn is None:
+        fn = jax.jit(lambda a: a.reshape(shape),
+                     donate_argnums=(0,) if donate else ())
+        _JIT_CACHE[ck] = fn
+    return fn(x)
+
+
 @dataclass(frozen=True)
 class EnsembleMesh:
     """A (particles × qubit-shards) mesh view for ensemble execution."""
@@ -963,7 +980,8 @@ def measure_sample_sharded(key, ens: ShardedEnsemble, n: int,
         Fg = (ens.psi.shape[-1] * (emesh.K if q_sharded else 1)) // (S * L)
         spec5 = (P(emesh.p_axis, None, emesh.q_axis, None, None)
                  if q_sharded else P(emesh.p_axis, None, None, None, None))
-        in_psi = ens.psi.reshape(B_total, 2, Fg, S, L)
+        in_psi = _boundary_reshape(ens.psi, (B_total, 2, Fg, S, L),
+                                   donate)
         specs_in = (P(), spec_w, spec5, P())
         specs_out = (spec_w, spec5, P(), P())
     else:
@@ -976,10 +994,10 @@ def measure_sample_sharded(key, ens: ShardedEnsemble, n: int,
           q_sharded, B_total, float(ess_threshold), _mesh_key(emesh),
           ens.psi.dtype, donate)
     log_w, psi, lost, dist = _cached_jit(
-        ck, mapped, (2,) if donate else ())(
+        ck, mapped, (2,) if donate or safe else ())(
         key, ens.log_w, in_psi, jnp.asarray(ens.lost_mass, jnp.float32))
     if safe:
-        psi = psi.reshape(B_total, 2, -1)
+        psi = _boundary_reshape(psi, (B_total, 2, Fg * S * L), True)
     return ShardedEnsemble(log_w, psi, lost), dist
 
 
