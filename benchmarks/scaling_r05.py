@@ -14,7 +14,7 @@ Round 5 fixed the two real causes —
    per jnp primitive); its executors are now content-key jit-cached
    (inference/ensemble_exec._JIT_CACHE).
 
-This artifact measures both legs warm (min of 2) and then re-runs the
+This artifact measures both legs warm (min of 4) and then re-runs the
 sharded leg with ``stats["sync_phases"]=True`` — the runner drains the
 device pipeline after every phase, so each bucket (init / segment /
 collapse / exchange / rotate / fetch) carries its own device time: the
@@ -100,8 +100,11 @@ def tpu_main(n: int) -> None:
     src = smc_program(n)
     particles = 8
 
+    # min-of-4: the shared axon service's execute latency is bursty
+    # (same-code walls measured 0.85-2.6 s across minutes); min over
+    # more repeats recovers the intrinsic wall
     walls = []
-    for _ in range(2):
+    for _ in range(4):
         stats: dict = {}
         walls.append(run_config((1, 1), particles, src, stats))
     sharded_wall = min(walls)
@@ -114,7 +117,7 @@ def tpu_main(n: int) -> None:
     events = bstats["collapse_events"]
 
     uwalls = []
-    for _ in range(2):
+    for _ in range(4):
         lp = lower_program(src, mid_measure=True)
         t0 = time.perf_counter()
         run_lowered_ensemble(lp, sample=particles, seed=0)

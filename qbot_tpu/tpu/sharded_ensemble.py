@@ -877,6 +877,19 @@ def _island_resample(key, log_w, values_psi, ess_frac, p_axis,
     return jax.lax.cond(ess_frac < threshold, do, skip, None)
 
 
+def _pre_digest(pre_plan):
+    """Digest of an optional fused pre-plan, or raises ValueError when it
+    is not content-addressable (callers fall back to separate calls)."""
+    if pre_plan is None:
+        return None
+    from qbot_tpu.tpu.sharded import splan_cache_key
+
+    d = splan_cache_key(pre_plan)
+    if d is None:
+        raise ValueError("pre_plan with parameterised makers cannot fuse")
+    return d
+
+
 def measure_sample_sharded(key, ens: ShardedEnsemble, n: int,
                            local_targets: Sequence[int],
                            emesh: EnsembleMesh,
@@ -884,7 +897,9 @@ def measure_sample_sharded(key, ens: ShardedEnsemble, n: int,
                            shard_positions: Sequence[int] = (),
                            q_sharded: bool = True,
                            stats: Optional[dict] = None,
-                           donate: bool = False
+                           donate: bool = False,
+                           pre_plan=None,
+                           post_plan=None
                            ) -> tuple[ShardedEnsemble, jax.Array]:
     """SMC-mode measurement on the mesh: each particle SAMPLES one outcome
     from its own (qubit-psummed) Born distribution — the optimal proposal,
@@ -892,8 +907,18 @@ def measure_sample_sharded(key, ens: ShardedEnsemble, n: int,
 
     The per-particle PRNG key is folded with the GLOBAL particle index so
     every qubit shard of the same particle draws the same outcome.
+
+    ``pre_plan`` / ``post_plan``: optional content-addressable
+    :class:`~qbot_tpu.tpu.sharded.ShardedPlan` applied to every particle
+    INSIDE the jitted body before / after the collapse — the runner
+    fuses [gate segment + localization reshards + basis rotation] →
+    collapse → [inverse rotation] into ONE jitted shard_map call per
+    event (one dispatch, no inter-call boundary copies); VERDICT r4 #1's
+    prescription.  The plans must not change the register width.
     """
     spec_w, spec_psi = emesh.specs(q_sharded)
+    pre_d = _pre_digest(pre_plan)
+    post_d = _pre_digest(post_plan)
     k = emesh.k if q_sharded else 0
     n_local = n - k
     B_total = ens.num_particles
@@ -911,6 +936,11 @@ def measure_sample_sharded(key, ens: ShardedEnsemble, n: int,
             # psi arrives in the 5-D carrier boundary shape (see below);
             # the per-particle helpers view it flat fusion-internally
             psi = psi.reshape(Bl, 2, -1)
+        if pre_plan is not None:
+            psi = _apply_items_batched(
+                psi, jnp.zeros((max(pre_plan.num_params, 1),), psi.dtype),
+                pre_plan, emesh.q_axis)
+        if safe:
             p_all = jax.vmap(
                 lambda s: _outcome_probs_local(
                     s, n_local, local_targets, emesh.q_axis,
@@ -966,6 +996,12 @@ def measure_sample_sharded(key, ens: ShardedEnsemble, n: int,
         new_lw, new_psi = _island_resample(rkey, log_w, new_psi, ess_frac,
                                            emesh.p_axis,
                                            threshold=ess_threshold)
+        if post_plan is not None:
+            flat = _apply_items_batched(
+                new_psi.reshape(Bl, 2, -1),
+                jnp.zeros((max(post_plan.num_params, 1),), new_psi.dtype),
+                post_plan, emesh.q_axis)
+            new_psi = flat.reshape(new_psi.shape)
         return new_lw, new_psi, lost, dist
 
     # 5-D carrier jit boundary in the safe regime: with the flat
@@ -992,7 +1028,7 @@ def measure_sample_sharded(key, ens: ShardedEnsemble, n: int,
                         in_specs=specs_in, out_specs=specs_out)
     ck = ("ms", n, tuple(sorted(local_targets)), tuple(shard_positions),
           q_sharded, B_total, float(ess_threshold), _mesh_key(emesh),
-          ens.psi.dtype, donate)
+          ens.psi.dtype, donate, pre_d, post_d)
     log_w, psi, lost, dist = _cached_jit(
         ck, mapped, (2,) if donate or safe else ())(
         key, ens.log_w, in_psi, jnp.asarray(ens.lost_mass, jnp.float32))
@@ -1007,15 +1043,19 @@ def discard_sample_sharded(key, ens: ShardedEnsemble, n: int,
                            ess_threshold: float = 0.5,
                            q_sharded: bool = True,
                            stats: Optional[dict] = None,
-                           donate: bool = False) -> ShardedEnsemble:
+                           donate: bool = False,
+                           pre_plan=None) -> ShardedEnsemble:
     """SMC-mode ``disc`` on the mesh: sample ONE traced-out basis state
-    per particle; the register shrinks at constant particle count."""
+    per particle; the register shrinks at constant particle count.
+    ``pre_plan``: optional fused pre-collapse plan (see
+    :func:`measure_sample_sharded`)."""
     spec_w, spec_psi = emesh.specs(q_sharded)
     k = emesh.k if q_sharded else 0
     n_local = n - k
     B_total = ens.num_particles
     Bl = B_total // emesh.P
     _count(stats, (1 if q_sharded else 0) + 2 + 2)
+    pre_d = _pre_digest(pre_plan)
 
     from qbot_tpu.inference.ensemble_exec import _safe_layouts
 
@@ -1023,6 +1063,10 @@ def discard_sample_sharded(key, ens: ShardedEnsemble, n: int,
     safe = _safe_layouts(n_local, t_l)
 
     def body(rngkey, log_w, psi, lost):
+        if pre_plan is not None:
+            psi = _apply_items_batched(
+                psi, jnp.zeros((max(pre_plan.num_params, 1),), psi.dtype),
+                pre_plan, emesh.q_axis)
         if safe:
             p_all = jax.vmap(
                 lambda s: _outcome_probs_local(
@@ -1088,7 +1132,8 @@ def discard_sample_sharded(key, ens: ShardedEnsemble, n: int,
                         in_specs=(P(), spec_w, spec_psi, P()),
                         out_specs=(spec_w, spec_psi, P()))
     ck = ("ds", n, tuple(sorted(local_targets)), q_sharded, B_total,
-          float(ess_threshold), _mesh_key(emesh), ens.psi.dtype, donate)
+          float(ess_threshold), _mesh_key(emesh), ens.psi.dtype, donate,
+          pre_d)
     log_w, psi, lost = _cached_jit(ck, mapped,
                                    (2,) if donate else ())(
         key, ens.log_w, ens.psi, jnp.asarray(ens.lost_mass, jnp.float32))
@@ -1100,7 +1145,8 @@ def replace_sample_sharded(key, ens: ShardedEnsemble, n: int,
                            new_states,
                            emesh: EnsembleMesh,
                            q_sharded: bool = True,
-                           stats: Optional[dict] = None) -> ShardedEnsemble:
+                           stats: Optional[dict] = None,
+                           pre_plan=None) -> ShardedEnsemble:
     """SMC-mode targeted ``qset`` on the mesh (VERDICT r4 #5): constant
     particle count.  Per particle: ONE traced-out basis state of the
     (localized) target subsystem is sampled from its qubit-psummed Born
@@ -1132,8 +1178,13 @@ def replace_sample_sharded(key, ens: ShardedEnsemble, n: int,
     phi_arr = np.stack([p for _, p in phis])
     safe = _safe_layouts(n_local, t_l)
     _count(stats, (1 if q_sharded else 0))
+    pre_d = _pre_digest(pre_plan)
 
     def body(rngkey, log_w, psi, lost):
+        if pre_plan is not None:
+            psi = _apply_items_batched(
+                psi, jnp.zeros((max(pre_plan.num_params, 1),), psi.dtype),
+                pre_plan, emesh.q_axis)
         shard = jax.lax.axis_index(emesh.p_axis)
         gidx = shard * Bl + jnp.arange(Bl)
         keys = jax.vmap(lambda i: jax.random.fold_in(rngkey, i))(gidx)
@@ -1182,7 +1233,7 @@ def replace_sample_sharded(key, ens: ShardedEnsemble, n: int,
                         in_specs=(P(), spec_w, spec_psi, P()),
                         out_specs=(spec_w, spec_psi, P()))
     ck = ("rss", n, tuple(local_targets), q_sharded, B_total,
-          _mesh_key(emesh), ens.psi.dtype,
+          _mesh_key(emesh), ens.psi.dtype, pre_d,
           tuple((w, p.tobytes()) for w, p in phis))
     log_w, psi, lost = _cached_jit(ck, mapped)(
         key, ens.log_w, ens.psi, jnp.asarray(ens.lost_mass, jnp.float32))
