@@ -91,6 +91,16 @@ _MIN_P = 1e-12
 _JIT_CACHE: dict = {}
 
 
+# Register-shrinking executors (disc) donate inputs their outputs cannot
+# alias; jax warns "Some donated buffers were not usable" at trace time
+# even though the donation still frees the buffer early (the point).
+# Expected here by design — silence just that message.
+import warnings as _warnings
+
+_warnings.filterwarnings(
+    "ignore", message="Some donated buffers were not usable")
+
+
 def _cached_jit(key, mapped, donate_argnums=()):
     fn = _JIT_CACHE.get(key)
     if fn is None:
